@@ -1,0 +1,39 @@
+"""Shared pytest fixtures. Ray is initialised ONCE per session."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def tiny_dir() -> str:
+    from ner_ray.fixtures.gen import ensure_fixtures
+
+    return ensure_fixtures("tiny")
+
+
+@pytest.fixture(scope="session")
+def small_dir() -> str:
+    from ner_ray.fixtures.gen import ensure_fixtures
+
+    return ensure_fixtures("small")
