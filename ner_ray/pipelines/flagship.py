@@ -1,0 +1,114 @@
+"""The flagship KG-construction pipeline (SURVEY.md §3.2).
+
+read interleaved docs -> flatten text spans -> [TaggerActor pool]
+-> [LinkerStage] -> triples -> exact dedup (shuffle #1)
+-> canonicalize (Q3) -> resolve (broadcast) -> adjacency (salted
+shuffle #2/#3) -> partitioned sink.
+
+Everything upstream of dedup is a fused map-only chain that preserves
+doc/span locality by construction (nested mention/link lists — batch
+boundaries can never split a span). The model + alias dict travel via
+``ray.put`` once (broadcast), never per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ner_ray import schema as S
+from ner_ray.sources.io import read_docs
+from ner_ray.stages.canon import canonicalize_local, resolve_triples
+from ner_ray.stages.dedup import dedup_triples
+from ner_ray.stages.graph import build_adjacency
+from ner_ray.stages.link import LinkerStage
+from ner_ray.stages.spans import flatten_text_spans
+from ner_ray.stages.tagger import TaggerActor
+from ner_ray.stages.triples import extract_triples_batch
+from ner_ray.state.model import put_bundle
+
+
+def mention_rows(batch: pa.Table, list_col: str = "mentions") -> pa.Table:
+    """Explode nested mention/link lists into flat rows with doc keys."""
+    col = batch.column(list_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    counts = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    flat = col.flatten()
+    cols: dict[str, pa.Array] = {
+        "doc_id": pa.array(
+            np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False),
+                      counts), pa.string()),
+        "span_idx": pa.array(
+            np.repeat(batch.column("span_idx").to_numpy(zero_copy_only=False),
+                      counts).astype(np.int32), pa.int32()),
+    }
+    for i, field in enumerate(flat.type):
+        cols[field.name] = flat.field(i)
+    return pa.table(cols)
+
+
+def tagged_spans(docs_ds, bundle_ref, *, tagger_concurrency=(1, 8),
+                 batch_size: int = 2048):
+    """docs -> span rows + mentions (the actor-pool tagging stage)."""
+    spans = docs_ds.map_batches(flatten_text_spans, batch_format="pyarrow")
+    return spans.map_batches(
+        TaggerActor,
+        fn_constructor_kwargs={"bundle": bundle_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=tagger_concurrency,
+        num_cpus=1,
+    )
+
+
+def linked_spans(tagged_ds, bundle_ref, *, concurrency=(1, 4)):
+    return tagged_ds.map_batches(
+        LinkerStage,
+        fn_constructor_kwargs={"bundle": bundle_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def raw_triples(linked_ds):
+    return linked_ds.map_batches(extract_triples_batch,
+                                 batch_format="pyarrow")
+
+
+def build_graph(docs_ds, model_path: str, alias_path: str, *,
+                tagger_concurrency=(1, 8), batch_size: int = 2048,
+                n_salts: int = 4):
+    """Compose the full lazy pipeline. Returns a dict of Datasets /
+    tables; nothing is executed until a sink/aggregate consumes it."""
+    import ray.data as rd
+
+    bundle_ref = put_bundle(model_path, alias_path)
+    tagged = tagged_spans(docs_ds, bundle_ref,
+                          tagger_concurrency=tagger_concurrency,
+                          batch_size=batch_size)
+    linked = linked_spans(tagged, bundle_ref)
+    triples = raw_triples(linked)
+    deduped = dedup_triples(triples)
+
+    alias_ds = rd.read_parquet(alias_path, columns=["entity_id", "alias"])
+    canon_tbl = canonicalize_local(alias_ds)
+    resolved = resolve_triples(deduped, canon_tbl)
+    adjacency = build_adjacency(resolved, n_salts=n_salts)
+    return {
+        "tagged": tagged,
+        "linked": linked,
+        "triples": triples,
+        "deduped": deduped,
+        "canon": canon_tbl,
+        "resolved": resolved,
+        "adjacency": adjacency,
+    }
+
+
+def run_fixture_pipeline(fixture_dir: str, **kw):
+    """Convenience: flagship over a generated fixture directory."""
+    docs = read_docs(f"{fixture_dir}/docs.parquet")
+    return build_graph(docs, f"{fixture_dir}/model.parquet",
+                       f"{fixture_dir}/alias.parquet", **kw)

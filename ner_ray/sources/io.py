@@ -1,0 +1,111 @@
+"""Sources & sinks (S2, S3, S6, S7).
+
+Lance-first with Parquet fallback: the north rule pins Lance tables,
+but ``import lance`` fails in this sandbox (no pylance wheel, no
+network — SURVEY.md §1.3), so ``read_docs`` / ``write_graph`` try
+Lance and fall back to Parquet. The Lance branch is a thin,
+untested-in-sandbox path and documented as such.
+
+``docs_from_testdata`` adapts the driver's flat documents table
+(doc_id:int64, text, lang, source, n_chars — TESTDATA.md) into the
+pinned interleaved shape, deterministically injecting alias mentions
+so the full KG pipeline (mentions -> links -> triples -> graph) has
+signal on driver data. Pure arithmetic on doc_id — no RNG state, no
+wall clock — so output is stable across runs and processes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ner_ray import schema as S
+from ner_ray.fixtures.gen import VOCAB
+
+
+def _lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def read_docs(path: str, *, columns: list[str] | None = None):
+    """Interleaved-docs table from a Lance dataset dir or Parquet."""
+    import ray.data as rd
+
+    if path.endswith(".lance") and _lance_available():
+        return rd.read_lance(path, columns=columns)
+    return rd.read_parquet(path, columns=columns)
+
+
+def write_graph(ds, path: str) -> None:
+    """Adjacency partitions back to Lance (or Parquet fallback)."""
+    if path.endswith(".lance") and _lance_available():
+        ds.write_lance(path)
+    else:
+        ds.write_parquet(path)
+
+
+class ToInterleaved:
+    """Driver documents -> interleaved docs (3 spans: original text,
+    injected mention-bearing text, media ref). Stateless + vectorized;
+    alias surfaces are captured at construction (small broadcast)."""
+
+    def __init__(self, aliases: list[str]):
+        self.aliases = np.array(aliases, dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        na = len(self.aliases)
+        a1 = self.aliases[ids % na]
+        a2 = self.aliases[(ids * 7 + 3) % na]
+        gap = np.array(VOCAB, dtype=object)[ids % len(VOCAB)]
+        injected = pd.Series(a1).str.title().str.cat(
+            [pd.Series(gap), pd.Series(a2).str.title()], sep=" "
+        ).to_numpy(dtype=object)
+
+        doc_id = pa.array([f"tdoc{i}" for i in ids], pa.string())
+        kinds = np.empty(3 * n, dtype=object)
+        texts = np.empty(3 * n, dtype=object)
+        refs = np.empty(3 * n, dtype=object)
+        offs = np.zeros(3 * n, dtype=np.int32)
+        kinds[0::3], kinds[1::3], kinds[2::3] = "text", "text", "image"
+        texts[0::3], texts[1::3], texts[2::3] = text, injected, ""
+        refs[0::3], refs[1::3] = "", ""
+        refs[2::3] = [f"media://tdoc{i}/2" for i in ids]
+        tlen = pd.Series(text).str.len().to_numpy()
+        ilen = pd.Series(injected).str.len().to_numpy()
+        offs[1::3] = tlen + 1
+        offs[2::3] = tlen + ilen + 2
+
+        struct = pa.StructArray.from_arrays(
+            [pa.array(list(kinds), pa.string()),
+             pa.array(list(texts), pa.string()),
+             pa.array(list(refs), pa.string()),
+             pa.array(offs, pa.int32())],
+            fields=list(S.SPAN_STRUCT),
+        )
+        offsets = pa.array(np.arange(0, 3 * n + 1, 3, dtype=np.int32),
+                           pa.int32())
+        spans = pa.ListArray.from_arrays(offsets, struct)
+        return pa.table({"doc_id": doc_id, "spans": spans},
+                        schema=S.DOCUMENTS)
+
+
+def docs_from_testdata(sf_dir: str, alias_path: str):
+    """Driver documents.parquet -> interleaved Dataset (deterministic)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    aliases = sorted(set(
+        pq.read_table(alias_path, columns=["alias"]).column("alias").to_pylist()
+    ))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(ToInterleaved(aliases), batch_format="pyarrow")

@@ -1,0 +1,141 @@
+"""Entity-link candidate generation + disambiguation (J1, A4).
+
+Candidate generation is the alias-dictionary BROADCAST join: the alias
+table is shipped once via ``ray.put`` (inside the ModelBundle) and the
+per-batch lookup is a vectorized dict map over unique surfaces — no
+shuffle (SURVEY.md §2.4 J1).
+
+Disambiguation (A4): keep candidates whose ne_type matches the
+mention's; argmax prior, ties -> lexicographically smallest entity_id.
+Exact within a batch because a mention's candidates are generated
+co-located.
+
+Two surfaces:
+* nested path (flagship): span rows with ``mentions`` list ->
+  ``links`` list (NIL mentions dropped), span locality preserved.
+* flat path: a mentions table -> candidates table -> links table
+  (operator parity for queries()).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ner_ray.stages.tagger import MENTION_STRUCT
+from ner_ray.stages.textops import map_to_strings
+from ner_ray.state.model import ModelBundle
+
+LINK_STRUCT = pa.struct(
+    list(MENTION_STRUCT) + [
+        pa.field("entity_id", pa.string()),
+        pa.field("link_score", pa.float64()),
+    ]
+)
+
+
+def _get(bundle):
+    if isinstance(bundle, ModelBundle):
+        return bundle
+    import ray
+
+    return ray.get(bundle)
+
+
+class LinkerStage:
+    """Span rows + mentions list -> + links list (actor or task pool)."""
+
+    def __init__(self, bundle):
+        b = _get(bundle)
+        self.alias_types = b.alias_types
+        self.best_entity = {a: e for a, (e, _p) in b.best_link.items()}
+        self.best_prior = {a: p for a, (_e, p) in b.best_link.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("mentions")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.flatten()
+        n = len(flat)
+        counts = np.diff(offsets)
+        row_of = np.repeat(np.arange(len(batch)), counts)
+
+        if n:
+            surf = pd.Series(flat.field("norm_surface").to_pylist(),
+                             dtype=object)
+            ne = flat.field("ne_type").to_numpy(zero_copy_only=False)
+            atype = map_to_strings(surf, self.alias_types, "")
+            keep = atype == ne
+            ent = map_to_strings(surf, self.best_entity, "")
+            # prior via unique lut (C gather; dict lookups on uniques only)
+            codes, uniq = pd.factorize(surf)
+            lut = np.array([self.best_prior.get(u, 0.0) for u in uniq])
+            pri = lut[codes]
+        else:
+            keep = np.zeros(0, dtype=bool)
+            ent = np.array([], dtype=object)
+            pri = np.array([], dtype=np.float64)
+
+        kept_idx = np.flatnonzero(keep)
+        kept = flat.take(pa.array(kept_idx, pa.int64())) if n else flat
+        arrays = [kept.field(i) for i in range(kept.type.num_fields)]
+        arrays.append(pa.array(ent[kept_idx], pa.string()))
+        arrays.append(pa.array(pri[kept_idx], pa.float64()))
+        struct = pa.StructArray.from_arrays(arrays, fields=list(LINK_STRUCT))
+
+        new_counts = np.bincount(row_of[kept_idx], minlength=len(batch)) \
+            if n else np.zeros(len(batch), dtype=np.int64)
+        new_offsets = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int32)
+        links = pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()),
+                                         struct)
+        return batch.append_column("links", links)
+
+
+# ------------------------------------------------- flat operator parity
+
+
+class CandidateStage:
+    """Flat mentions table -> candidates table (one row per mention x
+    matching alias entity). The broadcast join J1 in isolation."""
+
+    def __init__(self, bundle):
+        b = _get(bundle)
+        self.cands = b.candidates
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        surf = pdf["norm_surface"].astype(object)
+        codes, uniq = pd.factorize(surf)
+        per_uniq = [self.cands.get(u) for u in uniq]
+        rows, ents, priors = [], [], []
+        for i, code in enumerate(codes):  # loop over mentions with hits
+            hit = per_uniq[code]
+            if hit is None or hit[2] != pdf["ne_type"].iloc[i]:
+                continue
+            for e, p in zip(hit[0], hit[1]):
+                rows.append(i)
+                ents.append(e)
+                priors.append(float(p))
+        out = pdf.iloc[rows].reset_index(drop=True)
+        out["entity_id"] = ents
+        out["prior"] = priors
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def disambiguate_batch(batch: pa.Table) -> pa.Table:
+    """Candidates -> links: argmax prior per mention, ties -> smallest
+    entity_id. Assumes one mention's candidates are co-located (true:
+    CandidateStage emits them contiguously)."""
+    pdf = batch.to_pandas()
+    if pdf.empty:
+        out = pdf.rename(columns={"prior": "link_score"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+    key = ["doc_id", "span_idx", "tok_begin", "tok_end"]
+    pdf = pdf.sort_values(key + ["prior", "entity_id"],
+                          ascending=[True] * len(key) + [False, True],
+                          kind="stable")
+    out = pdf.drop_duplicates(subset=key, keep="first").reset_index(drop=True)
+    out = out.rename(columns={"prior": "link_score"})
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,271 @@
+"""CRF tagger stage: the heart of the engine (actor pool).
+
+Fuses tokenize -> normalize -> gazetteer longest-match -> Wapiti-style
+template expansion -> batched Viterbi -> BIO decode (conlleval repair)
+into ONE ``map_batches`` actor stage over zero-copy Arrow batches
+(cf. Wapiti src/pattern.c + src/decoder.c, reconstructed —
+SURVEY.md §2.2-2.3, operators M1-M4, A1, A3, Q1 fused).
+
+Input : span rows (doc_id, span_idx, text, ...).
+Output: same rows + ``mentions: list<struct>`` — span locality is kept
+by NESTING, so downstream stages (link, triples) never depend on batch
+boundaries. Flat mention tables are a thin explode stage.
+
+Everything is numpy/pandas C kernels; Python loops run only over
+sparse events (gazetteer matches, emitted mentions) and unique values.
+The Viterbi trellis is vectorized across ALL sequences of the batch
+(padded (B, T, 9) DP), not per sequence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ner_ray.constants import (
+    FEATURE_FAMILIES,
+    LABELS,
+    MAX_ALIAS_TOKENS,
+    N_LABELS,
+    NE_TYPES,
+)
+from ner_ray.stages.textops import (
+    map_to_ids,
+    map_to_strings,
+    ngrams_within_seq,
+    normalize_series,
+    shape_series,
+    shifted_within_seq,
+)
+from ner_ray.state.model import GAZ_VALUES, ModelBundle
+
+# label-index lookup tables for vectorized BIO decode
+_LAB_TYPE = np.array(
+    [-1] + [t for t in range(len(NE_TYPES)) for _ in (0, 1)], dtype=np.int64
+)
+_LAB_IS_B = np.array(
+    [False] + [b == 0 for _ in NE_TYPES for b in (0, 1)], dtype=bool
+)
+_TYPE_NAMES = np.array(NE_TYPES, dtype=object)
+
+MENTION_STRUCT = pa.struct(
+    [
+        ("tok_begin", pa.int32()),
+        ("tok_end", pa.int32()),
+        ("char_offset", pa.int32()),
+        ("surface", pa.string()),
+        ("norm_surface", pa.string()),
+        ("conn_token", pa.string()),
+        ("ne_type", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def _get(bundle):
+    """Accept a ModelBundle or an ObjectRef to one (broadcast)."""
+    if isinstance(bundle, ModelBundle):
+        return bundle
+    import ray
+
+    return ray.get(bundle)
+
+
+class TaggerActor:
+    """Callable class => Ray actor pool; model loaded once per actor."""
+
+    def __init__(self, bundle):
+        self.b = _get(bundle)
+        # gaz flag index (0..8) -> row in the gaz weight matrix
+        gid = self.b.value_ids["gaz"]
+        self._gaz_row = np.array([gid.get(v, 0) for v in GAZ_VALUES])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mentions = tag_spans(batch.column("text").to_pandas(), self.b,
+                             self._gaz_row)
+        return batch.append_column("mentions", mentions)
+
+
+def _gazetteer(norm: pd.Series, seq_id: np.ndarray,
+               alias_by_len: dict[int, dict[str, str]]) -> np.ndarray:
+    """Greedy longest-match left-to-right -> gaz flag index per token
+    (index into GAZ_VALUES: 0 = none, odd = B-, even = I-)."""
+    N = len(norm)
+    # candidate matches per position, longest L first
+    cand_L = np.zeros(N, dtype=np.int8)
+    cand_t = np.full(N, -1, dtype=np.int8)
+    for L in range(MAX_ALIAS_TOKENS, 0, -1):
+        amap = alias_by_len.get(L)
+        if not amap:
+            continue
+        grams = ngrams_within_seq(norm, seq_id, L)
+        types = map_to_strings(grams, amap, "")
+        hit = np.flatnonzero((types != "") & (cand_L == 0))
+        if len(hit):
+            cand_L[hit] = L
+            for i in hit:
+                cand_t[i] = NE_TYPES.index(types[i])
+    flags = np.zeros(N, dtype=np.int64)
+    cur_seq, cur_end = -1, -1
+    for i in np.flatnonzero(cand_L):  # sparse: matched positions only
+        s = seq_id[i]
+        if s != cur_seq:
+            cur_seq, cur_end = s, -1
+        if i < cur_end:
+            continue  # covered by an earlier (longer) accepted match
+        L, t = int(cand_L[i]), int(cand_t[i])
+        flags[i] = 1 + 2 * t          # B-type index in GAZ_VALUES
+        if L > 1:
+            flags[i + 1 : i + L] = 2 + 2 * t  # I-type
+        cur_end = i + L
+    return flags
+
+
+def _emissions(flat: pd.Series, norm: pd.Series, seq_id: np.ndarray,
+               gaz_flags: np.ndarray, b: ModelBundle,
+               gaz_row: np.ndarray) -> np.ndarray:
+    """(N, N_LABELS) emission scores via dense gathers per family."""
+    N = len(flat)
+    E = np.zeros((N, N_LABELS))
+    # token identity at offsets -2..+2
+    Wlow = b.weights["low"]
+    ids_low = map_to_ids(norm, b.value_ids["low"])
+    for oi, off in enumerate(FEATURE_FAMILIES["low"]):
+        # feature "low:off:value" fires at position t when the token at
+        # t+off has that value => gather ids shifted by +off
+        E += Wlow[shifted_within_seq(ids_low, seq_id, off), oi]
+    E += b.weights["shape"][map_to_ids(shape_series(flat), b.value_ids["shape"]), 0]
+    for k in (1, 2, 3):
+        E += b.weights[f"pre{k}"][
+            map_to_ids(norm.str[:k], b.value_ids[f"pre{k}"]), 0
+        ]
+        E += b.weights[f"suf{k}"][
+            map_to_ids(norm.str[-k:], b.value_ids[f"suf{k}"]), 0
+        ]
+    E += b.weights["gaz"][gaz_row[gaz_flags], 0]
+    return E
+
+
+def _viterbi_batch(E: np.ndarray, seq_id: np.ndarray, pos: np.ndarray,
+                   lens: np.ndarray, trans: np.ndarray,
+                   start: np.ndarray) -> np.ndarray:
+    """Vectorized-over-sequences Viterbi. Returns flat tag ids.
+
+    Ties break toward the lowest label index (np.argmax first hit),
+    matching oracle.viterbi exactly.
+    """
+    B = len(lens)
+    T = int(lens.max()) if B else 0
+    if T == 0:
+        return np.zeros(0, dtype=np.int64)
+    Epad = np.zeros((B, T, N_LABELS))
+    Epad[seq_id, pos] = E
+    dp = start[None, :] + Epad[:, 0]
+    back = np.zeros((B, T, N_LABELS), dtype=np.int8)
+    for t in range(1, T):
+        cand = dp[:, :, None] + trans[None, :, :]       # (B, prev, next)
+        bp = cand.argmax(axis=1)                        # first max = lowest prev
+        m = np.take_along_axis(cand, bp[:, None, :], axis=1)[:, 0, :]
+        ndp = m + Epad[:, t]
+        active = t < lens
+        dp = np.where(active[:, None], ndp, dp)
+        back[:, t] = bp
+    ptr = dp.argmax(axis=1)
+    tags = np.zeros((B, T), dtype=np.int64)
+    rows = np.arange(B)
+    for t in range(T - 1, -1, -1):
+        write = t < lens
+        tags[write, t] = ptr[write]
+        if t > 0:
+            nb = back[rows, t, ptr]
+            ptr = np.where(t < lens, nb, ptr)
+    return tags[seq_id, pos]
+
+
+def tag_spans(texts: pd.Series, b: ModelBundle,
+              gaz_row: np.ndarray) -> pa.ListArray:
+    """texts (one per span row) -> list<MENTION_STRUCT> per row."""
+    nrows = len(texts)
+    texts = texts.fillna("").reset_index(drop=True)
+    tok_lists = texts.str.split()
+    lens = tok_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+    flat = tok_lists.explode(ignore_index=True).dropna().reset_index(drop=True)
+    flat = flat.astype(object)
+    N = len(flat)
+    empty = pa.ListArray.from_arrays(
+        np.zeros(nrows + 1, dtype=np.int32), _mentions_struct([],
+        [], [], [], [], [], [], []))
+    if N == 0:
+        return empty
+
+    seq_id = np.repeat(np.arange(nrows), lens)
+    starts_flat = np.cumsum(lens) - lens
+    pos = np.arange(N) - np.repeat(starts_flat, lens)
+    norm = normalize_series(flat)
+
+    # char offsets under the frozen single-space-join convention
+    tok_len = flat.str.len().to_numpy(dtype=np.int64)
+    adv = tok_len + 1
+    cum = np.cumsum(adv) - adv
+    coff = cum - np.repeat(cum[starts_flat[lens > 0]], lens[lens > 0])
+
+    gaz_flags = _gazetteer(norm, seq_id, b.alias_by_len)
+    E = _emissions(flat, norm, seq_id, gaz_flags, b, gaz_row)
+    # only sequences with tokens enter the trellis
+    tags_flat = _viterbi_batch(E, seq_id, pos, lens, b.trans, b.start)
+
+    # ---- vectorized BIO decode (conlleval repair) ----
+    tt = _LAB_TYPE[tags_flat]
+    ib = _LAB_IS_B[tags_flat]
+    prev_tt = shifted_within_seq(tt, seq_id, -1, fill=-1)
+    starts = (tt >= 0) & (ib | (prev_tt != tt))
+    next_tt = shifted_within_seq(tt, seq_id, +1, fill=-1)
+    next_start = shifted_within_seq(starts.astype(np.int64), seq_id, +1, fill=1)
+    ends = (tt >= 0) & ((next_tt != tt) | (next_start == 1))
+    si = np.flatnonzero(starts)
+    ei = np.flatnonzero(ends)
+    assert len(si) == len(ei)
+
+    m_seq = seq_id[si]
+    tok_begin = pos[si]
+    tok_end = pos[ei] + 1
+    char_off = coff[si]
+    ne_type = _TYPE_NAMES[tt[si]]
+    # surfaces by slicing the span text (offsets are exact under the
+    # frozen convention); sparse Python loop over MENTIONS only
+    t_np = texts.to_numpy(dtype=object)
+    b_char = coff[si]
+    e_char = coff[ei] + tok_len[ei]
+    surfaces = [t_np[s][bc:ec] for s, bc, ec in zip(m_seq, b_char, e_char)]
+    norm_surf = normalize_series(pd.Series(surfaces, dtype=object)) \
+        .to_numpy(dtype=object) if len(surfaces) else np.array([], dtype=object)
+    # connective = norm token right after the mention (same sequence)
+    norm_np = norm.to_numpy(dtype=object)
+    nxt = ei + 1
+    conn_ok = (nxt < N) & (seq_id[np.minimum(nxt, N - 1)] == m_seq)
+    conn = np.where(conn_ok, norm_np[np.minimum(nxt, N - 1)], "")
+
+    struct = _mentions_struct(tok_begin, tok_end, char_off, surfaces,
+                              norm_surf, conn, ne_type,
+                              np.ones(len(si)))
+    counts = np.bincount(m_seq, minlength=nrows)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
+
+def _mentions_struct(tok_begin, tok_end, char_off, surfaces, norm_surf,
+                     conn, ne_type, score) -> pa.StructArray:
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(np.asarray(tok_begin, dtype=np.int32), pa.int32()),
+            pa.array(np.asarray(tok_end, dtype=np.int32), pa.int32()),
+            pa.array(np.asarray(char_off, dtype=np.int32), pa.int32()),
+            pa.array(list(surfaces), pa.string()),
+            pa.array(list(norm_surf), pa.string()),
+            pa.array(list(conn), pa.string()),
+            pa.array(list(ne_type), pa.string()),
+            pa.array(np.asarray(score, dtype=np.float64), pa.float64()),
+        ],
+        fields=list(MENTION_STRUCT),
+    )

@@ -1,0 +1,136 @@
+"""Broadcast model state: CRF weights + alias dictionary, loaded once.
+
+The sparse on-disk model (feature, label, weight — mirroring a Wapiti
+model file, i.e. pattern set + sparse weights; cf. Wapiti src/model.c,
+reconstructed per SURVEY.md §0) is compiled into dense per-family
+weight matrices for vectorized scoring, then ``ray.put`` once on the
+driver; every tagger/linker actor does ``ray.get`` in ``__init__``
+(broadcast pattern — no per-batch reshipping, no shuffle join for the
+small side).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ner_ray.constants import (
+    FEATURE_FAMILIES,
+    LABEL_INDEX,
+    MAX_ALIAS_TOKENS,
+    N_LABELS,
+    START_FEATURE,
+    TRANS_PREFIX,
+)
+
+# Gazetteer flag vocabulary: index 0 = no flag ("")
+GAZ_VALUES: list[str] = [""] + [
+    f"{b}-{t}" for t in ("PER", "ORG", "LOC", "MISC") for b in ("B", "I")
+]
+GAZ_INDEX: dict[str, int] = {v: i for i, v in enumerate(GAZ_VALUES)}
+
+
+@dataclass
+class ModelBundle:
+    """Dense, numpy-native compilation of model + alias dict.
+
+    weights[family] : (n_values+1, n_offsets, N_LABELS) float64; row 0 is
+                      the OOV/pad row (all zeros) so out-of-vocabulary and
+                      out-of-sequence lookups contribute nothing — exactly
+                      like an absent sparse feature.
+    value_ids[family] : dict value -> row index (>=1)
+    """
+
+    weights: dict[str, np.ndarray]
+    value_ids: dict[str, dict[str, int]]
+    trans: np.ndarray        # (N_LABELS, N_LABELS)
+    start: np.ndarray        # (N_LABELS,)
+    # gazetteer: per n-gram length L -> dict "tok tok.." -> ne_type
+    alias_by_len: dict[int, dict[str, str]]
+    # linking: alias -> (entity_ids list, priors ndarray, ne_type)
+    candidates: dict[str, tuple[list[str], np.ndarray, str]]
+    # fused path: (alias) -> (best_entity, best_prior) given type match
+    best_link: dict[str, tuple[str, float]]
+    alias_types: dict[str, str]
+
+    @classmethod
+    def load(cls, model_path: str, alias_path: str) -> "ModelBundle":
+        mt = pq.read_table(model_path)
+        feats = mt.column("feature").to_pylist()
+        labels = mt.column("label").to_pylist()
+        ws = mt.column("weight").to_pylist()
+
+        trans = np.zeros((N_LABELS, N_LABELS))
+        start = np.zeros(N_LABELS)
+        # first pass: collect per-family value -> offset -> label weights
+        sparse: dict[str, dict[str, dict[tuple[int, int], float]]] = {
+            fam: {} for fam in FEATURE_FAMILIES
+        }
+        offset_pos = {
+            fam: {off: i for i, off in enumerate(offs)}
+            for fam, offs in FEATURE_FAMILIES.items()
+        }
+        for f, l, w in zip(feats, labels, ws):
+            li = LABEL_INDEX[l]
+            if f == START_FEATURE:
+                start[li] = w
+                continue
+            if f.startswith(TRANS_PREFIX):
+                trans[LABEL_INDEX[f[len(TRANS_PREFIX):]], li] = w
+                continue
+            fam, off_s, value = f.split(":", 2)
+            cell = sparse[fam].setdefault(value, {})
+            cell[(offset_pos[fam][int(off_s)], li)] = w
+
+        weights: dict[str, np.ndarray] = {}
+        value_ids: dict[str, dict[str, int]] = {}
+        for fam, offs in FEATURE_FAMILIES.items():
+            vals = sorted(sparse[fam])
+            ids = {v: i + 1 for i, v in enumerate(vals)}
+            W = np.zeros((len(vals) + 1, len(offs), N_LABELS))
+            for v, cells in sparse[fam].items():
+                for (oi, li), w in cells.items():
+                    W[ids[v], oi, li] = w
+            weights[fam] = W
+            value_ids[fam] = ids
+
+        at = pq.read_table(alias_path)
+        aliases = at.column("alias").to_pylist()
+        entities = at.column("entity_id").to_pylist()
+        types = at.column("ne_type").to_pylist()
+        priors = at.column("prior").to_pylist()
+
+        alias_by_len: dict[int, dict[str, str]] = {
+            L: {} for L in range(1, MAX_ALIAS_TOKENS + 1)
+        }
+        alias_types: dict[str, str] = {}
+        cand_tmp: dict[str, list[tuple[str, float, str]]] = {}
+        for a, e, t, p in zip(aliases, entities, types, priors):
+            L = a.count(" ") + 1
+            if L <= MAX_ALIAS_TOKENS:
+                alias_by_len[L][a] = t
+            alias_types[a] = t
+            cand_tmp.setdefault(a, []).append((e, float(p), t))
+
+        candidates: dict[str, tuple[list[str], np.ndarray, str]] = {}
+        best_link: dict[str, tuple[str, float]] = {}
+        for a, lst in cand_tmp.items():
+            ents = [e for e, _p, _t in lst]
+            ps = np.array([p for _e, p, _t in lst])
+            candidates[a] = (ents, ps, lst[0][2])
+            # argmax prior; ties -> lexicographically smallest entity_id
+            best = min(lst, key=lambda ept: (-ept[1], ept[0]))
+            best_link[a] = (best[0], best[1])
+
+        return cls(weights, value_ids, trans, start, alias_by_len,
+                   candidates, best_link, alias_types)
+
+
+def put_bundle(model_path: str, alias_path: str):
+    """Load + broadcast: returns an ObjectRef to pass to actor
+    constructors via fn_constructor_kwargs (zero-copy to all workers)."""
+    import ray
+
+    return ray.put(ModelBundle.load(model_path, alias_path))
