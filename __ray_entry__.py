@@ -3,14 +3,11 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in ner_ray) calls ray.init()/ray.shutdown(): the
+driver, bench.py and the pytest session fixture own the Ray session.
 """
 
 from __future__ import annotations
@@ -20,25 +17,34 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline over /root/testdata/sf0.001: driver docs
+    adapted to the pinned interleaved shape (deterministic mention
+    injection), then tag -> link -> triples -> dedup -> canonicalize ->
+    resolve. Returns the resolved triple Dataset."""
+    from ner_ray.fixtures.gen import ensure_fixtures
+    from ner_ray.pipelines.flagship import build_graph
+    from ner_ray.sources.io import docs_from_testdata
+
+    fx = ensure_fixtures("small")
+    docs = docs_from_testdata("/root/testdata/sf0.001", f"{fx}/alias.parquet")
+    out = build_graph(docs, f"{fx}/model.parquet", f"{fx}/alias.parquet")
+    return out["resolved"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    (relational core, scalar families, joins, windows, KG pipeline,
+    dedup suite, similarity search, text analysis, multimodal stub)."""
+    from ner_ray.pipelines.queries import registry
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query (driver
+    tables are pre-registered views; synthetic fixture tables are
+    reached via read_parquet on their deterministic /tmp paths, which
+    queries()/oracle_sql() materialize on call)."""
+    from ner_ray.pipelines.queries import sql_registry
+
+    return sql_registry()

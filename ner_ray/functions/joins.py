@@ -1,0 +1,167 @@
+"""Join / lookup operators (SURVEY.md §2.4, J1-J5).
+
+Strategy table (ray_guide.md §"Joins and lookups"):
+* small side       -> broadcast (ray.put once, pandas merge / dict /
+                      searchsorted per batch) — NO shuffle
+* large × large    -> ``Dataset.join`` (hash-partitioned; verified in
+                      Ray 2.49) with ``bucketed_hash_join`` as the
+                      portable explicit-partitioned fallback
+* semi / anti      -> broadcast key set filter (or Dataset.join types)
+* as-of            -> global: broadcast sorted keys + searchsorted;
+                      keyed: sort within key buckets + pd.merge_asof
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
+                   how: str = "inner"):
+    """Map-side join against a broadcast dimension table (J1).
+
+    ``small_df`` is shipped to the object store ONCE; each batch does a
+    vectorized pandas merge. Supports 1:N small-side multiplicity.
+    """
+    import ray
+
+    ref = ray.put(small_df)
+
+    class _Join:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, how=how, left_on=left_on,
+                               right_on=right_on)
+
+    return ds.map_batches(_Join, batch_format="pandas", concurrency=(1, 4),
+                          num_cpus=1)
+
+
+def hash_join(left, right, left_on: str, right_on: str,
+              join_type: str = "inner", num_partitions: int = 8):
+    """Large×large hash join via Dataset.join (J2)."""
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions,
+                     on=(left_on,), right_on=(right_on,))
+
+
+def bucketed_hash_join(left, right, left_on: str, right_on: str,
+                       num_buckets: int = 8):
+    """Portable explicit-partitioned hash join: bucket both sides by
+    key hash, groupby bucket, pairwise merge per bucket (the fallback
+    pattern for engines without Dataset.join). Inner join only."""
+    from ner_ray.util.hashing import hash_column
+
+    def tag(col, side):
+        def fn(t: pa.Table) -> pa.Table:
+            b = (hash_column(t.column(col)) % np.uint64(num_buckets)) \
+                .astype(np.int64)
+            t = t.append_column("_bucket", pa.array(b))
+            return t.append_column("_side",
+                                   pa.array(np.full(len(t), side, np.int8)))
+
+        return fn
+
+    l = left.map_batches(tag(left_on, 0), batch_format="pyarrow")
+    r = right.map_batches(tag(right_on, 1), batch_format="pyarrow")
+    both = l.union(r)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0].drop(columns=["_side", "_bucket"])
+        rg = g[g["_side"] == 1].drop(columns=["_side", "_bucket"])
+        out = lg.merge(rg, how="inner", left_on=left_on, right_on=right_on)
+        return out
+
+    return both.groupby("_bucket").map_groups(join_bucket,
+                                              batch_format="pandas")
+
+
+def semi_join(ds, keys, on: str, anti: bool = False):
+    """Broadcast key-set semi/anti join (J3/J4). ``keys`` is an
+    iterable of key values (the small side)."""
+    import ray
+    import pyarrow.compute as pc
+
+    key_ref = ray.put(pa.array(sorted(set(keys))))
+
+    class _Semi:
+        def __init__(self):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(on), value_set=self.keys)
+            if anti:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return ds.map_batches(_Semi, batch_format="pyarrow", concurrency=(1, 4),
+                          num_cpus=1)
+
+
+def asof_join_global(ds, ts_col: str, right_values, out_col: str):
+    """Global (keyless) as-of: each row gets the greatest right value
+    <= its ts (broadcast sorted array + np.searchsorted; rows with no
+    match are dropped — ASOF inner semantics)."""
+    import ray
+
+    vals = np.sort(np.unique(np.asarray(right_values)))
+    ref = ray.put(vals)
+
+    class _Asof:
+        def __init__(self):
+            self.vals = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ts = batch.column(ts_col).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.vals, ts, side="right") - 1
+            keep = idx >= 0
+            matched = self.vals[np.maximum(idx, 0)]
+            batch = batch.append_column(
+                out_col, pa.array(matched, pa.timestamp("us")))
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_Asof, batch_format="pyarrow", concurrency=(1, 4),
+                          num_cpus=1)
+
+
+def asof_join_keyed(left, right, key: str, left_ts: str, right_ts: str,
+                    direction: str = "backward"):
+    """Keyed as-of join (J5): co-locate by key via groupby, sort within
+    the group, pd.merge_asof. Partitioning assumption: one key's rows
+    fit in a group task (true for dimension-keyed event streams)."""
+    # harmonize schemas so union() is legal (missing cols -> nulls)
+    lcols = left.schema().names
+    rcols = right.schema().names
+    all_cols = list(dict.fromkeys(lcols + rcols)) + ["_side"]
+
+    def tag_side(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_side"] = side
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = np.nan
+            return df[all_cols]
+
+        return fn
+
+    l = left.map_batches(tag_side(0), batch_format="pandas")
+    r = right.map_batches(tag_side(1), batch_format="pandas")
+    both = l.union(r)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0].dropna(axis=1, how="all").drop(columns="_side")
+        rg = g[g["_side"] == 1].dropna(axis=1, how="all").drop(columns="_side")
+        if lg.empty or rg.empty:
+            return lg.iloc[:0]
+        out = pd.merge_asof(lg.sort_values(left_ts),
+                            rg.sort_values(right_ts),
+                            left_on=left_ts, right_on=right_ts,
+                            direction=direction)
+        return out
+
+    return both.groupby(key).map_groups(merge_group, batch_format="pandas")

@@ -1,0 +1,504 @@
+"""KG-pipeline + training-data-extras queries (registered into the
+same registry as the relational ones).
+
+These run over the deterministic synthetic fixtures (interleaved docs
+with spans — the driver tables have no spans column) or over the
+driver documents/embeddings tables for the dedup / similarity / text
+operators. Oracle SQL reads fixture parquet via read_parquet():
+goldens are produced by the SINGLE-PROCESS reference oracle
+(ner_ray/oracle/reference_oracle.py — no Ray code involved), and the
+canonicalization SQL recomputes components independently in DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ner_ray.constants import CANON_MAX_HOPS
+from ner_ray.fixtures.gen import FIXTURE_ROOT
+from ner_ray.pipelines.queries import _fx, _rp, q
+
+_SMALL = f"{FIXTURE_ROOT}/small"
+
+
+# ------------------------------------------------------------ scans
+
+
+@q("q_scan_documents", sql="SELECT doc_id, text, lang, source, n_chars FROM documents")
+def q_scan_documents(sf_dir: str):
+    return _rp(sf_dir, "documents")
+
+
+@q("q_scan_spans", sql=f"""
+SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+       s."offset" AS "offset"
+FROM (SELECT doc_id, unnest(spans) AS s
+      FROM read_parquet('{_SMALL}/docs.parquet'))
+""")
+def q_scan_spans(_sf_dir: str):
+    from ner_ray.sources.io import read_docs
+    from ner_ray.stages.spans import flatten_spans
+
+    docs = read_docs(f"{_fx()}/docs.parquet")
+    return docs.map_batches(
+        lambda t: flatten_spans(t).drop_columns(["span_idx"]),
+        batch_format="pyarrow")
+
+
+@q("q_filter_kind", sql=f"""
+SELECT doc_id, s.text AS text, s."offset" AS "offset"
+FROM (SELECT doc_id, unnest(spans) AS s
+      FROM read_parquet('{_SMALL}/docs.parquet'))
+WHERE s.kind = 'text'
+""")
+def q_filter_kind(_sf_dir: str):
+    from ner_ray.sources.io import read_docs
+    from ner_ray.stages.spans import flatten_text_spans
+
+    docs = read_docs(f"{_fx()}/docs.parquet")
+    return docs.map_batches(
+        lambda t: flatten_text_spans(t).drop_columns(["span_idx"]),
+        batch_format="pyarrow")
+
+
+# ------------------------------------------ KG pipeline conformance
+
+
+_PIPELINE_CACHE: dict[str, dict] = {}
+
+
+def _small_pipeline() -> dict:
+    """Run the flagship ONCE over the small fixture and cache each
+    stage materialized (stage-by-stage, so upstream work is shared by
+    every KG query instead of re-executing per consumption)."""
+    fx = _fx()
+    if fx not in _PIPELINE_CACHE:
+        import ray.data as rd
+
+        from ner_ray.pipelines.flagship import (
+            linked_spans,
+            raw_triples,
+            tagged_spans,
+        )
+        from ner_ray.sources.io import read_docs
+        from ner_ray.stages.canon import canonicalize_local, resolve_triples
+        from ner_ray.stages.dedup import dedup_triples
+        from ner_ray.stages.graph import build_adjacency
+        from ner_ray.state.model import put_bundle
+
+        bundle = put_bundle(f"{fx}/model.parquet", f"{fx}/alias.parquet")
+        tagged = tagged_spans(read_docs(f"{fx}/docs.parquet"),
+                              bundle).materialize()
+        linked = linked_spans(tagged, bundle).materialize()
+        triples = raw_triples(linked).materialize()
+        deduped = dedup_triples(triples).materialize()
+        alias_ds = rd.read_parquet(f"{fx}/alias.parquet",
+                                   columns=["entity_id", "alias"])
+        canon = canonicalize_local(alias_ds)
+        resolved = resolve_triples(deduped, canon).materialize()
+        adjacency = build_adjacency(resolved).materialize()
+        _PIPELINE_CACHE[fx] = {
+            "tagged": tagged, "linked": linked, "triples": triples,
+            "deduped": deduped, "canon": canon, "resolved": resolved,
+            "adjacency": adjacency,
+        }
+    return _PIPELINE_CACHE[fx]
+
+
+@q("q_mentions", sql=f"""
+SELECT doc_id, span_idx, tok_begin, tok_end, char_offset, surface,
+       ne_type, score
+FROM read_parquet('{_SMALL}/gold_mentions.parquet')
+""")
+def q_mentions(_sf_dir: str):
+    from ner_ray.pipelines.flagship import mention_rows
+
+    out = _small_pipeline()["tagged"].map_batches(
+        mention_rows, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "span_idx", "tok_begin", "tok_end",
+                               "char_offset", "surface", "ne_type", "score"])
+
+
+@q("q_links", sql=f"""
+SELECT doc_id, span_idx, tok_begin, tok_end, entity_id, link_score
+FROM read_parquet('{_SMALL}/gold_links.parquet')
+""")
+def q_links(_sf_dir: str):
+    from ner_ray.pipelines.flagship import mention_rows
+
+    out = _small_pipeline()["linked"].map_batches(
+        lambda t: mention_rows(t, "links"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "span_idx", "tok_begin", "tok_end",
+                               "entity_id", "link_score"])
+
+
+@q("q_triples", sql=f"""
+SELECT subj, pred, obj, doc_id, span_idx, score
+FROM read_parquet('{_SMALL}/gold_triples.parquet')
+""")
+def q_triples(_sf_dir: str):
+    return _small_pipeline()["triples"].select_columns(
+        ["subj", "pred", "obj", "doc_id", "span_idx", "score"])
+
+
+@q("q_dedup_triples", sql=f"""
+SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS weight
+FROM read_parquet('{_SMALL}/gold_triples.parquet')
+GROUP BY subj, pred, obj
+""")
+def q_dedup_triples(_sf_dir: str):
+    return _small_pipeline()["deduped"]
+
+
+def _canon_sql() -> str:
+    """Min-label propagation in pure SQL, CANON_MAX_HOPS rounds over
+    the bipartite entity-alias edges — DuckDB recomputes components
+    independently of both the oracle and the Ray engine."""
+    rounds = []
+    prev = "l0"
+    base = f"""
+WITH e AS (SELECT entity_id, alias
+           FROM read_parquet('{_SMALL}/alias.parquet')),
+l0 AS (SELECT DISTINCT entity_id, entity_id AS label FROM e)"""
+    for i in range(1, CANON_MAX_HOPS + 1):
+        rounds.append(f""",
+a{i} AS (SELECT e.alias, min(l.label) AS m
+         FROM e JOIN {prev} l USING (entity_id) GROUP BY e.alias),
+l{i} AS (SELECT e.entity_id, min(a.m) AS label
+         FROM e JOIN a{i} a USING (alias) GROUP BY e.entity_id)""")
+        prev = f"l{i}"
+    return (base + "".join(rounds)
+            + f"\nSELECT entity_id, label AS canonical_id FROM {prev}")
+
+
+@q("q_canon_labels", sql=_canon_sql())
+def q_canon_labels(_sf_dir: str):
+    import ray.data as rd
+
+    from ner_ray.stages.canon import canonicalize_local
+
+    edges = rd.read_parquet(f"{_fx()}/alias.parquet",
+                            columns=["entity_id", "alias"])
+    return canonicalize_local(edges)
+
+
+@q("q_resolved", sql=f"""
+SELECT subj, pred, obj, weight
+FROM read_parquet('{_SMALL}/gold_resolved.parquet')
+""")
+def q_resolved(_sf_dir: str):
+    return _small_pipeline()["resolved"]
+
+
+@q("q_adjacency_degree", sql=f"""
+SELECT subj AS src, CAST(count(*) AS BIGINT) AS degree
+FROM read_parquet('{_SMALL}/gold_resolved.parquet')
+GROUP BY subj
+""")
+def q_adjacency_degree(_sf_dir: str):
+    return _small_pipeline()["adjacency"].select_columns(["src", "degree"])
+
+
+@q("q_topk_entities", sql=f"""
+SELECT entity_id, CAST(count(*) AS BIGINT) AS n_mentions
+FROM read_parquet('{_SMALL}/gold_links.parquet')
+GROUP BY entity_id ORDER BY n_mentions DESC, entity_id LIMIT 20
+""")
+def q_topk_entities(_sf_dir: str):
+    """G6 heavy-hitter probe: partial counts -> groupby sum -> top-k.
+    This is the stage that picks salt keys for skewed shuffles."""
+    from ray.data.aggregate import Sum
+
+    from ner_ray.pipelines.flagship import mention_rows
+
+    links = _small_pipeline()["linked"].map_batches(
+        lambda t: mention_rows(t, "links"), batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["entity_id"]).group_by(["entity_id"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["entity_id", "n"])
+
+    counts = links.map_batches(partial, batch_format="pyarrow") \
+        .groupby("entity_id").aggregate(Sum("n", alias_name="n_mentions"))
+    return counts.sort(["n_mentions", "entity_id"],
+                       descending=[True, False]).limit(20)
+
+
+@q("q_span_invariant")
+def q_span_invariant(_sf_dir: str):
+    """Q6 as a query: per-doc boolean span-sequence equality between
+    annotated output and input (must be all-true; also a pytest)."""
+    import ray.data as rd
+
+    from ner_ray.stages.annotate import AnnotateDocsActor
+    from ner_ray.stages.spans import spans_signature
+    from ner_ray.state.model import put_bundle
+
+    fx = _fx()
+    docs = rd.read_parquet(f"{fx}/docs.parquet")
+    bundle = put_bundle(f"{fx}/model.parquet", f"{fx}/alias.parquet")
+    annotated = docs.map_batches(
+        AnnotateDocsActor, fn_constructor_kwargs={"bundle": bundle},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    a = docs.map_batches(spans_signature, batch_format="pyarrow").to_pandas()
+    b = annotated.map_batches(spans_signature,
+                              batch_format="pyarrow").to_pandas()
+    m = a.merge(b, on="doc_id", suffixes=("_in", "_out"))
+    return pa.table({
+        "doc_id": pa.array(m["doc_id"], pa.string()),
+        "equal": pa.array(m["span_sig_in"] == m["span_sig_out"]),
+    })
+
+
+# ------------------------------------------------- text analysis
+
+
+@q("q_token_count", sql="""
+SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+""")
+def q_token_count(sf_dir: str):
+    from ner_ray.stages.textstats import token_count_batch
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow")
+
+
+@q("q_bpeish_count", sql=r"""
+SELECT doc_id, CAST(len(regexp_extract_all(
+    text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+FROM documents
+""")
+def q_bpeish_count(sf_dir: str):
+    from ner_ray.stages.textstats import BpeishTokenCounter
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        BpeishTokenCounter, batch_format="pandas", concurrency=(1, 4),
+        num_cpus=1)
+
+
+@q("q_normalize", sql="""
+SELECT doc_id, regexp_replace(lower(text), '[0-9]', '0', 'g') AS norm_text
+FROM documents
+""")
+def q_normalize(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "norm_text": pc.replace_substring_regex(
+                pc.utf8_lower(t.column("text")), r"[0-9]", "0"),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@q("q_quality", sql="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+       length(replace(text, ' ', '')) * 1.0
+           / greatest(len(str_split(text, ' ')), 1) AS mean_word_len,
+       len(list_distinct(str_split(text, ' '))) * 1.0
+           / greatest(len(str_split(text, ' ')), 1) AS uniq_ratio
+FROM documents
+""")
+def q_quality(sf_dir: str):
+    from ner_ray.stages.textstats import quality_batch
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow")
+
+
+@q("q_langid")
+def q_langid(sf_dir: str):
+    from ner_ray.stages.textstats import LangIdStage
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
+@q("q_fingerprint")
+def q_fingerprint(sf_dir: str):
+    from ner_ray.stages.textstats import fingerprint_batch
+
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ dedup suite
+
+
+@q("q_dedup_exact", sql="""
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+""")
+def q_dedup_exact(sf_dir: str):
+    from ner_ray.stages.neardup import exact_dedup
+
+    return exact_dedup(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@q("q_minhash_pairs")
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidates + exact-Jaccard verify (no SQL:
+    signature banding is engine-specific; verified in tests against
+    planted duplicates)."""
+    from ner_ray.stages.neardup import minhash_near_dups
+
+    return minhash_near_dups(_rp(sf_dir, "documents", ["doc_id", "text"]),
+                             threshold=0.7)
+
+
+@q("q_simhash_pairs")
+def q_simhash_pairs(sf_dir: str):
+    from ner_ray.stages.neardup import simhash_near_dups
+
+    return simhash_near_dups(_rp(sf_dir, "documents", ["doc_id", "text"]),
+                             max_hamming=3)
+
+
+@q("q_ngram_jaccard", sql="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(list_distinct(str_split(a.text, ' ')),
+                          list_distinct(str_split(b.text, ' ')))) * 1.0
+           / greatest(len(list_distinct(list_concat(
+                 str_split(a.text, ' '), str_split(b.text, ' ')))), 1)
+           AS jaccard
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+""")
+def q_ngram_jaccard(sf_dir: str):
+    """Word-set Jaccard of consecutive doc pairs: a self hash-join on
+    a computed partner key + vectorized set overlap (explode/merge)."""
+    from ner_ray.functions.joins import hash_join
+
+    a = _rp(sf_dir, "documents", ["doc_id", "text"])
+    b = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: pa.table({
+            "partner": pc.subtract(t.column("doc_id"), 1),
+            "doc_b": t.column("doc_id"),
+            "text_b": t.column("text")}),
+        batch_format="pyarrow")
+    j = hash_join(a, b, "doc_id", "partner", num_partitions=4)
+
+    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        wa = df["text"].str.split()
+        wb = df["text_b"].str.split()
+
+        def explode(w):
+            c = w.str.len().to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "i": np.repeat(np.arange(n), c),
+                "w": w.explode(ignore_index=True).dropna().to_numpy(),
+            }).drop_duplicates()
+
+        ea, eb = explode(wa), explode(wb)
+        na = ea.groupby("i").size().reindex(range(n), fill_value=0)
+        nb = eb.groupby("i").size().reindex(range(n), fill_value=0)
+        inter = ea.merge(eb, on=["i", "w"]).groupby("i").size() \
+            .reindex(range(n), fill_value=0)
+        union = (na + nb - inter).to_numpy().astype(float)
+        jac = inter.to_numpy() / np.maximum(union, 1.0)
+        return pd.DataFrame({"doc_a": df["doc_id"].to_numpy(),
+                             "doc_b": df["doc_b"].to_numpy(),
+                             "jaccard": jac})
+
+    return j.map_batches(jaccard, batch_format="pandas")
+
+
+# --------------------------------------------------- similarity search
+
+
+@q("q_ann_topk", sql="""
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""")
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ner_ray.stages.similarity import _to_matrix, ann_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+        pc.equal(pc.field("vec_id"), 0))
+    qvec = _to_matrix(qtbl.column("embedding"))[0]
+    out = ann_topk(_rp(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                   qvec, k=10, exclude_ids={0})
+    return out.select_columns(["vec_id", "sim"])
+
+
+@q("q_ann_lsh")
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate ANN (scale path; recall vs brute force
+    asserted in tests — no SQL equivalent)."""
+    import pyarrow.parquet as pq
+
+    from ner_ray.stages.similarity import _to_matrix, lsh_ann_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+        pc.equal(pc.field("vec_id"), 0))
+    qvec = _to_matrix(qtbl.column("embedding"))[0]
+    return lsh_ann_topk(_rp(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                        qvec, k=10)
+
+
+@q("q_embed_dup_pairs", sql="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.45
+""")
+def q_embed_dup_pairs(sf_dir: str):
+    """Cosine near-dup pairs. Threshold 0.45 is tuned to the synthetic
+    embeddings' similarity distribution (random 64-d vectors peak
+    ~0.5) so the result is non-empty at every sf."""
+    from ner_ray.stages.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_rp(sf_dir, "embeddings",
+                                ["vec_id", "embedding"]),
+                            threshold=0.45)
+
+
+@q("q_hll_distinct")
+def q_hll_distinct(sf_dir: str):
+    """HLL approx-distinct users (mergeable per-batch sketches; epsilon
+    vs exact asserted in tests — no SQL for our specific sketch)."""
+    from ner_ray.functions.aggregates import approx_distinct
+
+    est = approx_distinct(_rp(sf_dir, "events", ["user_id"]), "user_id")
+    return pa.table({"approx_distinct_users": pa.array([round(est, 1)])})
+
+
+@q("q_sample")
+def q_sample(sf_dir: str):
+    """Seeded sample (rows-only: sampling order differs per engine)."""
+    return _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .random_sample(0.1, seed=42)
+
+
+# ------------------------------------------------------- multimodal
+
+
+@q("q_media_stats")
+def q_media_stats(_sf_dir: str):
+    """Media metadata extraction over interleaved docs (decode stubbed
+    with a deterministic fake — plumbing is real; rows-only)."""
+    from ner_ray.sources.io import read_docs
+    from ner_ray.stages.multimodal import media_stats
+
+    return media_stats(read_docs(f"{_fx()}/docs.parquet"))

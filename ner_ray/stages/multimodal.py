@@ -1,0 +1,103 @@
+"""Multimodal span processing (image/audio as opaque binary + typed
+metadata).
+
+The Ray-side plumbing — schema, actor signature, batch sizing, output
+layout — is real and tested; the actual codec calls are STUBBED behind
+``decode_media`` because no image/audio libraries exist in this
+container. ``FakeMediaDecoder`` produces deterministic pseudo-metadata
+from the media_ref hash so pipelines and tests have stable, non-trivial
+values; ``RealMediaDecoder.__call__`` raises NotImplementedError at the
+clearly-marked decode call site.
+
+Large binary payloads => keep ``batch_size`` small for these stages
+(documented: a decoded image batch of B rows × H×W×3 bytes must fit the
+worker heap; pick B so B × payload <= ~256 MiB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ner_ray.stages.spans import flatten_spans
+from ner_ray.util.hashing import hash_column
+
+MEDIA_META = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_bytes", pa.int64()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+class FakeMediaDecoder:
+    """Actor-pool decode stage with a deterministic fake backend.
+
+    width/height/n_bytes/feature derive from the stable hash of
+    media_ref — reproducible across runs and processes, no RNG state.
+    """
+
+    FEATURE_DIM = 8
+
+    def __init__(self):
+        # real decoders would load codecs/models here, once per actor
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans = flatten_spans(batch)
+        media = spans.filter(
+            pa.compute.not_equal(spans.column("kind"), "text"))
+        refs = media.column("media_ref")
+        h = hash_column(refs) if len(media) else np.array([], dtype=np.uint64)
+        width = (64 + (h % np.uint64(1024))).astype(np.int32)
+        height = (64 + ((h >> np.uint64(10)) % np.uint64(1024))).astype(np.int32)
+        n_bytes = (width.astype(np.int64) * height.astype(np.int64) * 3)
+        # deterministic fake feature vector per media item
+        feat = np.empty((len(media), self.FEATURE_DIM), dtype=np.float32)
+        for d in range(self.FEATURE_DIM):
+            feat[:, d] = (((h >> np.uint64(8 * (d % 8))) & np.uint64(0xFF))
+                          .astype(np.float32) / 255.0)
+        flat_feat = pa.array(feat.reshape(-1), pa.float32())
+        offsets = pa.array(
+            np.arange(0, (len(media) + 1) * self.FEATURE_DIM,
+                      self.FEATURE_DIM, dtype=np.int32), pa.int32())
+        return pa.table(
+            {
+                "doc_id": media.column("doc_id"),
+                "span_idx": media.column("span_idx"),
+                "media_ref": media.column("media_ref"),
+                "kind": media.column("kind"),
+                "width": pa.array(width, pa.int32()),
+                "height": pa.array(height, pa.int32()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "feature": pa.ListArray.from_arrays(offsets, flat_feat),
+            },
+            schema=MEDIA_META,
+        )
+
+
+class RealMediaDecoder(FakeMediaDecoder):
+    """The production signature. Decode is stubbed: this container has
+    no image/audio codecs (no PIL/ffmpeg/torchvision)."""
+
+    def decode_media(self, media_bytes: bytes, kind: str):
+        raise NotImplementedError(
+            "media decode requires image/audio codecs not present in "
+            "this environment; see FakeMediaDecoder for the tested "
+            "plumbing and ner_ray/stages/multimodal.py docstring for "
+            "batch-sizing guidance"
+        )
+
+
+def media_stats(docs_ds, concurrency=(1, 4), batch_size: int = 512):
+    """Media metadata extraction over interleaved docs (actor pool,
+    small batches per the binary-payload sizing rule)."""
+    return docs_ds.map_batches(
+        FakeMediaDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

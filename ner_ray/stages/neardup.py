@@ -1,0 +1,271 @@
+"""Near-duplicate detection suite (training-data pipeline operators):
+
+* exact dedup        — content hash -> two-phase groupby (D3 pattern)
+* MinHash + LSH      — shingle -> minhash signature -> banded buckets
+                       -> candidate pairs -> exact-Jaccard verify
+* SimHash            — 64-bit simhash -> 4x16-bit band buckets ->
+                       Hamming-verify candidates
+* n-gram Jaccard     — vectorized set-overlap verification
+
+All shuffles move (band_hash, doc_id) pairs or partial aggregates,
+never raw documents. Signatures use the seed-stable hash (never
+Python hash()), so runs are reproducible across processes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ner_ray.util.hashing import hash_column
+
+N_HASHES = 64
+N_BANDS = 16          # 16 bands x 4 rows
+ROWS_PER_BAND = N_HASHES // N_BANDS
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _rng_coeffs(seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, size=N_HASHES, dtype=np.uint64)
+    b = rng.integers(0, 1 << 61, size=N_HASHES, dtype=np.uint64)
+    return a, b
+
+
+_A, _B = _rng_coeffs()
+
+
+def _shingle_hashes(texts: pd.Series, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """k-word shingles -> stable uint64 hashes. Returns (row_idx, hash)."""
+    words = texts.str.split()
+    counts = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+    flat = words.explode(ignore_index=True).dropna().reset_index(drop=True)
+    n = len(flat)
+    row = np.repeat(np.arange(len(texts)), counts)
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    parts = [flat]
+    valid = np.ones(n, dtype=bool)
+    for j in range(1, k):
+        parts.append(flat.shift(-j))
+        v = np.zeros(n, dtype=bool)
+        v[:-j] = row[:-j] == row[j:]
+        valid &= v
+    sh = parts[0].str.cat(parts[1:], sep=" ")
+    keep = valid & sh.notna().to_numpy()
+    return row[keep], hash_column(sh[keep])
+
+
+def minhash_signatures(texts: pd.Series, k: int = 3) -> np.ndarray:
+    """(n_docs, N_HASHES) uint64 minhash signature matrix."""
+    row, h = _shingle_hashes(texts, k)
+    sig = np.full((len(texts), N_HASHES), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    if len(h) == 0:
+        return sig
+    # h_i(x) = (a_i * x + b_i) mod M  (multiply-shift family)
+    for i in range(N_HASHES):
+        hv = (h * _A[i] + _B[i]) % _MERSENNE
+        np.minimum.at(sig[:, i], row, hv)
+    return sig
+
+
+def minhash_band_rows(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Explode each doc into N_BANDS (band_id, band_hash) rows — the
+    shuffle payload for LSH bucketing."""
+    texts = batch.column(text_col).to_pandas()
+    sig = minhash_signatures(texts)
+    n = len(texts)
+    band_hash = np.empty((n, N_BANDS), dtype=np.uint64)
+    for bnd in range(N_BANDS):
+        seg = sig[:, bnd * ROWS_PER_BAND:(bnd + 1) * ROWS_PER_BAND]
+        acc = np.full(n, 0x9E3779B97F4A7C15, dtype=np.uint64)
+        for c in range(ROWS_PER_BAND):
+            acc = (acc ^ seg[:, c]) * np.uint64(0x100000001B3)
+        band_hash[:, bnd] = acc
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return pa.table({
+        "band_id": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+        "band_hash": pa.array(band_hash.reshape(-1)),
+        "doc_id": pa.array(np.repeat(ids, N_BANDS)),
+    })
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    ids = np.sort(g["doc_id"].unique())
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    i, j = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+
+
+def lsh_candidate_pairs(docs_ds, text_col: str = "text"):
+    """docs -> candidate near-dup pairs via banded minhash buckets."""
+    bands = docs_ds.map_batches(
+        lambda t: minhash_band_rows(t, text_col), batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas")
+    # distinct pairs (same pair can fire in many bands)
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands"))
+
+
+def verify_jaccard(pairs_df: pd.DataFrame, texts_by_id: dict,
+                   k: int = 3, threshold: float = 0.7) -> pd.DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (vectorized set ops
+    via explode+merge). texts_by_id is the broadcast doc->text map
+    restricted to candidate docs (small by construction)."""
+    if pairs_df.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    ids = sorted(set(pairs_df["doc_a"]) | set(pairs_df["doc_b"]))
+    texts = pd.Series([texts_by_id[i] for i in ids], dtype=object)
+    row, h = _shingle_hashes(texts, k)
+    sets = pd.DataFrame({"row": row, "h": h}).drop_duplicates()
+    sizes = sets.groupby("row")["h"].size()
+    id_to_row = {d: i for i, d in enumerate(ids)}
+    ra = pairs_df["doc_a"].map(id_to_row).to_numpy()
+    rb = pairs_df["doc_b"].map(id_to_row).to_numpy()
+    a_sets = sets.rename(columns={"row": "ra"})
+    b_sets = sets.rename(columns={"row": "rb"})
+    pair_df = pd.DataFrame({"pair": np.arange(len(ra)), "ra": ra, "rb": rb})
+    inter = (
+        pair_df.merge(a_sets, on="ra")
+        .merge(b_sets, on=["rb", "h"])
+        .groupby("pair")["h"].size()
+    )
+    na = sizes.reindex(ra).fillna(0).to_numpy()
+    nb = sizes.reindex(rb).fillna(0).to_numpy()
+    inter_full = np.zeros(len(ra))
+    inter_full[inter.index.to_numpy()] = inter.to_numpy()
+    union = na + nb - inter_full
+    jac = np.where(union > 0, inter_full / np.maximum(union, 1), 0.0)
+    out = pairs_df.copy()
+    out["jaccard"] = np.round(jac, 6)
+    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+
+def minhash_near_dups(docs_ds, text_col: str = "text", k: int = 3,
+                      threshold: float = 0.7):
+    """Full MinHash-LSH near-dup pipeline. The verify step broadcasts
+    only the candidate docs' texts (small side); the scale path for
+    huge candidate sets is a join back to the docs table — documented
+    in SURVEY.md §2.7 D4."""
+    import ray
+
+    cand = lsh_candidate_pairs(docs_ds, text_col).to_pandas()
+    if cand.empty:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=object),
+             "doc_b": pd.Series([], dtype=object),
+             "jaccard": pd.Series([], dtype=float)}))
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    texts = {}
+    for b in docs_ds.iter_batches(batch_format="pyarrow"):
+        ids = b.column("doc_id").to_pylist()
+        ts = b.column(text_col).to_pylist()
+        for i, t in zip(ids, ts):
+            if i in need:
+                texts[i] = t
+    verified = verify_jaccard(cand[["doc_a", "doc_b"]], texts, k, threshold)
+    import ray.data as rd
+
+    return rd.from_pandas(verified) if len(verified) else rd.from_pandas(
+        pd.DataFrame({"doc_a": pd.Series([], dtype=object),
+                      "doc_b": pd.Series([], dtype=object),
+                      "jaccard": pd.Series([], dtype=float)}))
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over word hashes (sign-sum of bit vectors)."""
+    texts = batch.column(text_col).to_pandas()
+    words = texts.str.split()
+    counts = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+    flat = words.explode(ignore_index=True).dropna().reset_index(drop=True)
+    row = np.repeat(np.arange(len(texts)), counts)
+    acc = np.zeros((len(texts), 64), dtype=np.int64)
+    if len(flat):
+        h = hash_column(flat)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64) * 2 - 1
+        np.add.at(acc, row, bits)
+    sim = (acc > 0).astype(np.uint64)
+    sh = np.zeros(len(texts), dtype=np.uint64)
+    for bit in range(64):
+        sh |= sim[:, bit] << np.uint64(bit)
+    return batch.append_column("simhash", pa.array(sh))
+
+
+def simhash_near_dups(docs_ds, max_hamming: int = 3):
+    """Hamming<=k near-dups via 4x16-bit band buckets (two signatures
+    within Hamming 3 share at least one exact 16-bit band)."""
+    def bands(t: pa.Table) -> pa.Table:
+        sh = t.column("simhash").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(sh)
+        out_band = np.tile(np.arange(4, dtype=np.int32), n)
+        out_key = np.empty(4 * n, dtype=np.uint64)
+        for bnd in range(4):
+            out_key[bnd::4] = (sh >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
+        return pa.table({
+            "band_id": pa.array(out_band),
+            "band_key": pa.array(out_key),
+            "doc_id": pa.array(np.repeat(ids, 4)),
+            "simhash": pa.array(np.repeat(sh, 4)),
+        })
+
+    with_sig = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+    band_rows = with_sig.map_batches(bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        i, j = np.triu_indices(len(g), k=1)
+        x = sh[i] ^ sh[j]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[i][keep], "doc_b": ids[j][keep],
+                             "hamming": ham[keep]})
+
+    pairs = band_rows.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+# ------------------------------------------------------- exact dedup
+
+
+def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One row per distinct text: (doc_id = min id, n_dups). Two-phase:
+    per-batch combine on the content hash, then a final groupby over
+    partials — raw texts never shuffle."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = hash_column(t.column(text_col))
+        tt = pa.table({"h": pa.array(h), id_col: t.column(id_col)})
+        g = tt.group_by("h").aggregate([(id_col, "min"), ([], "count_all")])
+        return g.rename_columns(["h", id_col, "n_dups"])
+
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("h").aggregate(
+        Min(id_col, alias_name=id_col), Sum("n_dups", alias_name="n_dups"))
+    return out.select_columns([id_col, "n_dups"])

