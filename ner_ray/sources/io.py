@@ -53,14 +53,24 @@ def write_graph(ds, path: str) -> None:
 class ToInterleaved:
     """Driver documents -> interleaved docs (3 spans: original text,
     injected mention-bearing text, media ref). Stateless + vectorized;
-    alias surfaces are captured at construction (small broadcast)."""
+    alias surfaces are captured at construction (small broadcast).
 
-    def __init__(self, aliases: list[str]):
+    ``replicas`` deterministically amplifies the corpus (R interleaved
+    docs per driver doc, each with a distinct id and injected entity
+    pair) — the bench corpus generator. Pure doc_id arithmetic: no RNG
+    state, reproducible across runs and parallelism levels.
+    """
+
+    def __init__(self, aliases: list[str], replicas: int = 1):
         self.aliases = np.array(aliases, dtype=object)
+        self.replicas = int(replicas)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        text = batch.column("text").to_numpy(zero_copy_only=False)
+        R = self.replicas
+        base_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        base_text = batch.column("text").to_numpy(zero_copy_only=False)
+        ids = base_ids.repeat(R) * R + np.tile(np.arange(R), len(base_ids))
+        text = base_text.repeat(R)
         n = len(ids)
         na = len(self.aliases)
         a1 = self.aliases[ids % na]
@@ -98,14 +108,26 @@ class ToInterleaved:
                         schema=S.DOCUMENTS)
 
 
-def docs_from_testdata(sf_dir: str, alias_path: str):
-    """Driver documents.parquet -> interleaved Dataset (deterministic)."""
+def docs_from_testdata(sf_dir: str, alias_path: str, replicas: int = 1,
+                       num_blocks: int | None = None):
+    """Driver documents.parquet -> interleaved Dataset (deterministic;
+    column-pruned read, amplified by ``replicas`` for benching).
+
+    The documents file is small pre-amplification, so Ray's
+    size-based splitting would yield too few blocks to feed the
+    downstream actor pool — presplit with override_num_blocks
+    (parallelism = blocks, not batch_size)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     aliases = sorted(set(
         pq.read_table(alias_path, columns=["alias"]).column("alias").to_pylist()
     ))
+    if num_blocks is None:
+        n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        num_blocks = max(8, min(256, (n_rows * replicas) // 1000))
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    return ds.map_batches(ToInterleaved(aliases), batch_format="pyarrow")
+                         columns=["doc_id", "text"],
+                         override_num_blocks=num_blocks)
+    return ds.map_batches(ToInterleaved(aliases, replicas),
+                          batch_format="pyarrow")

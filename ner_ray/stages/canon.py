@@ -176,6 +176,32 @@ def resolve_triples(deduped_ds, canon_table: pa.Table):
     return merge_weights(rewritten)
 
 
+def resolve_then_dedup(raw_triples_ds, canon_table: pa.Table):
+    """Fused fast path for the flagship: rewrite RAW triples through
+    the broadcast canonical map FIRST, then dedup once — one all-to-all
+    instead of two (dedup + re-merge). Identical result to
+    resolve_triples(dedup_triples(raw)) because the rewrite is a
+    per-row map and weight addition is associative; equality is
+    asserted in tests."""
+    import ray
+
+    from ner_ray.stages.dedup import dedup_triples
+
+    canon = dict(zip(canon_table.column("entity_id").to_pylist(),
+                     canon_table.column("canonical_id").to_pylist()))
+    ref = ray.put(canon)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        # stateless task pool: ray.get on the broadcast ref is a
+        # zero-copy object-store read, no actor spin-up needed for a
+        # cheap map (the actor form, ResolveStage, remains for large
+        # canon maps where per-task deserialization would matter)
+        return ResolveStage(ray.get(ref))(batch)
+
+    rewritten = raw_triples_ds.map_batches(rewrite, batch_format="pyarrow")
+    return dedup_triples(rewritten)
+
+
 def resolve_triples_join(deduped_ds, canon_ds, num_partitions: int = 16):
     """Q4 scale path: two hash joins (subj then obj) for canonical maps
     too large to broadcast; identical semantics to resolve_triples."""

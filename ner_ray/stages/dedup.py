@@ -25,12 +25,18 @@ def partial_dedup_batch(batch: pa.Table) -> pa.Table:
     return g.set_column(3, "weight", pc.cast(g.column("weight"), pa.int64()))
 
 
+COMBINE_BATCH = 131072  # rows per combiner call: a big combine window
+# shrinks the shuffled partials by ~batch/|keys| while staying well
+# inside a worker heap (3 string cols + int64)
+
+
 def dedup_triples(triples_ds):
     """Dataset of TRIPLES rows -> Dataset of TRIPLES_DEDUP rows."""
     from ray.data.aggregate import Sum
 
     partial = triples_ds.map_batches(partial_dedup_batch,
-                                     batch_format="pyarrow")
+                                     batch_format="pyarrow",
+                                     batch_size=COMBINE_BATCH)
     return partial.groupby(KEY).aggregate(Sum("weight", alias_name="weight"))
 
 
@@ -42,5 +48,6 @@ def merge_weights(ds):
         lambda t: t.group_by(KEY).aggregate([("weight", "sum")])
                    .rename_columns(KEY + ["weight"]),
         batch_format="pyarrow",
+        batch_size=COMBINE_BATCH,
     )
     return partial.groupby(KEY).aggregate(Sum("weight", alias_name="weight"))

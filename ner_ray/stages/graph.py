@@ -58,15 +58,41 @@ def _merge_group(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def build_adjacency(resolved_ds, n_salts: int = DEFAULT_SALTS):
-    """Dataset[TRIPLES_DEDUP] -> Dataset[ADJACENCY] (salted two-phase)."""
+def _partial_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Within-batch combiner: one partial edge list per src per batch
+    (no shuffle). Plays the same anti-skew role as salting — a hot
+    src's edges are split across however many batches carry them."""
+    if df.empty:
+        return pd.DataFrame({"src": [], "partial": []})
+    groups = df.groupby("subj", sort=False)
+    return pd.DataFrame({
+        "src": [k for k, _ in groups],
+        "partial": [_edges_sorted(g) for _, g in groups],
+    })
+
+
+def build_adjacency(resolved_ds, n_salts: int = DEFAULT_SALTS,
+                    mode: str = "combiner"):
+    """Dataset[TRIPLES_DEDUP] -> Dataset[ADJACENCY].
+
+    mode="combiner" (default): map-side partial edge lists per batch,
+    then ONE groupby(src) merge — the scale path (single shuffle of
+    pre-combined partials).
+    mode="salted": explicit salted two-phase groupby((src, salt)) ->
+    groupby(src) — the shape the north rule names; equal output,
+    asserted in tests.
+    """
+    if mode == "combiner":
+        partials = resolved_ds.map_batches(_partial_batch,
+                                           batch_format="pandas")
+        return partials.groupby("src").map_groups(
+            _merge_group, batch_format="pandas")
     salted = resolved_ds.map_batches(
         lambda t: _add_salt(t, n_salts), batch_format="pyarrow")
     partials = salted.groupby(["subj", "salt"]).map_groups(
         _partial_group, batch_format="pandas")
-    adj = partials.groupby("src").map_groups(
+    return partials.groupby("src").map_groups(
         _merge_group, batch_format="pandas")
-    return adj
 
 
 def adjacency_table(resolved_ds, n_salts: int = DEFAULT_SALTS) -> pa.Table:

@@ -32,8 +32,6 @@ from ner_ray.constants import (
 )
 from ner_ray.stages.textops import (
     map_to_ids,
-    map_to_strings,
-    ngrams_within_seq,
     normalize_series,
     shape_series,
     shifted_within_seq,
@@ -87,25 +85,42 @@ class TaggerActor:
         return batch.append_column("mentions", mentions)
 
 
-def _gazetteer(norm: pd.Series, seq_id: np.ndarray,
+def _gazetteer(norm_np: np.ndarray, first_mask: np.ndarray,
+               seq_id: np.ndarray,
                alias_by_len: dict[int, dict[str, str]]) -> np.ndarray:
     """Greedy longest-match left-to-right -> gaz flag index per token
-    (index into GAZ_VALUES: 0 = none, odd = B-, even = I-)."""
-    N = len(norm)
-    # candidate matches per position, longest L first
+    (index into GAZ_VALUES: 0 = none, odd = B-, even = I-).
+
+    ``first_mask`` marks positions whose token can START an alias
+    (computed on unique tokens), so multi-token gram construction runs
+    only over those sparse candidates.
+    """
+    N = len(norm_np)
+    cand_pos = np.flatnonzero(first_mask)
     cand_L = np.zeros(N, dtype=np.int8)
     cand_t = np.full(N, -1, dtype=np.int8)
+    type_idx = {t: i for i, t in enumerate(NE_TYPES)}
     for L in range(MAX_ALIAS_TOKENS, 0, -1):
         amap = alias_by_len.get(L)
         if not amap:
             continue
-        grams = ngrams_within_seq(norm, seq_id, L)
-        types = map_to_strings(grams, amap, "")
-        hit = np.flatnonzero((types != "") & (cand_L == 0))
-        if len(hit):
-            cand_L[hit] = L
-            for i in hit:
-                cand_t[i] = NE_TYPES.index(types[i])
+        if L == 1:
+            pos = cand_pos
+            for i in pos:
+                t = amap.get(norm_np[i])
+                if t is not None and cand_L[i] == 0:
+                    cand_L[i] = 1
+                    cand_t[i] = type_idx[t]
+        else:
+            valid = cand_pos[cand_pos + L - 1 < N]
+            valid = valid[seq_id[valid] == seq_id[valid + L - 1]]
+            for i in valid:  # sparse: alias-start candidates only
+                if cand_L[i] != 0:
+                    continue
+                t = amap.get(" ".join(norm_np[i:i + L]))
+                if t is not None:
+                    cand_L[i] = L
+                    cand_t[i] = type_idx[t]
     flags = np.zeros(N, dtype=np.int64)
     cur_seq, cur_end = -1, -1
     for i in np.flatnonzero(cand_L):  # sparse: matched positions only
@@ -122,27 +137,41 @@ def _gazetteer(norm: pd.Series, seq_id: np.ndarray,
     return flags
 
 
-def _emissions(flat: pd.Series, norm: pd.Series, seq_id: np.ndarray,
+def _unique_features(uniq: pd.Series, b: ModelBundle):
+    """Per UNIQUE surface form: (static emission row (U, N_LABELS),
+    low-family id, normalized string). The static part sums every
+    position-local family (shape, prefixes, suffixes, low@offset 0) in
+    unique space — a batch has few thousand distinct tokens, so the
+    expensive string kernels never touch the full token stream."""
+    u_norm = normalize_series(uniq)
+    center = FEATURE_FAMILIES["low"].index(0)
+    static = b.weights["shape"][
+        map_to_ids(shape_series(uniq), b.value_ids["shape"]), 0].copy()
+    for k in (1, 2, 3):
+        static += b.weights[f"pre{k}"][
+            map_to_ids(u_norm.str[:k], b.value_ids[f"pre{k}"]), 0]
+        static += b.weights[f"suf{k}"][
+            map_to_ids(u_norm.str[-k:], b.value_ids[f"suf{k}"]), 0]
+    ids_low_u = map_to_ids(u_norm, b.value_ids["low"])
+    static += b.weights["low"][ids_low_u, center]
+    return static, ids_low_u, u_norm.to_numpy(dtype=object)
+
+
+def _emissions(codes: np.ndarray, static_u: np.ndarray,
+               ids_low_u: np.ndarray, seq_id: np.ndarray,
                gaz_flags: np.ndarray, b: ModelBundle,
                gaz_row: np.ndarray) -> np.ndarray:
-    """(N, N_LABELS) emission scores via dense gathers per family."""
-    N = len(flat)
-    E = np.zeros((N, N_LABELS))
-    # token identity at offsets -2..+2
+    """(N, N_LABELS) emissions: one static gather + the four
+    cross-token low-offset gathers + the gaz gather."""
+    E = static_u[codes]
     Wlow = b.weights["low"]
-    ids_low = map_to_ids(norm, b.value_ids["low"])
+    ids_low = ids_low_u[codes]
     for oi, off in enumerate(FEATURE_FAMILIES["low"]):
+        if off == 0:
+            continue  # folded into the static row
         # feature "low:off:value" fires at position t when the token at
         # t+off has that value => gather ids shifted by +off
         E += Wlow[shifted_within_seq(ids_low, seq_id, off), oi]
-    E += b.weights["shape"][map_to_ids(shape_series(flat), b.value_ids["shape"]), 0]
-    for k in (1, 2, 3):
-        E += b.weights[f"pre{k}"][
-            map_to_ids(norm.str[:k], b.value_ids[f"pre{k}"]), 0
-        ]
-        E += b.weights[f"suf{k}"][
-            map_to_ids(norm.str[-k:], b.value_ids[f"suf{k}"]), 0
-        ]
     E += b.weights["gaz"][gaz_row[gaz_flags], 0]
     return E
 
@@ -202,16 +231,28 @@ def tag_spans(texts: pd.Series, b: ModelBundle,
     seq_id = np.repeat(np.arange(nrows), lens)
     starts_flat = np.cumsum(lens) - lens
     pos = np.arange(N) - np.repeat(starts_flat, lens)
-    norm = normalize_series(flat)
+
+    # factorize ONCE: every per-token string kernel runs in unique space
+    codes, uniques = pd.factorize(flat)
+    uniq = pd.Series(uniques, dtype=object)
+    static_u, ids_low_u, u_norm = _unique_features(uniq, b)
+    norm_np = u_norm[codes]
 
     # char offsets under the frozen single-space-join convention
-    tok_len = flat.str.len().to_numpy(dtype=np.int64)
+    u_len = uniq.str.len().to_numpy(dtype=np.int64)
+    tok_len = u_len[codes]
     adv = tok_len + 1
     cum = np.cumsum(adv) - adv
     coff = cum - np.repeat(cum[starts_flat[lens > 0]], lens[lens > 0])
 
-    gaz_flags = _gazetteer(norm, seq_id, b.alias_by_len)
-    E = _emissions(flat, norm, seq_id, gaz_flags, b, gaz_row)
+    # alias-start candidates (unique space) -> sparse gazetteer
+    first_tokens = {a.split(" ", 1)[0] for m in b.alias_by_len.values()
+                    for a in m}
+    u_first = np.fromiter((x in first_tokens for x in u_norm),
+                          dtype=bool, count=len(u_norm))
+    gaz_flags = _gazetteer(norm_np, u_first[codes], seq_id, b.alias_by_len)
+    E = _emissions(codes, static_u, ids_low_u, seq_id, gaz_flags, b,
+                   gaz_row)
     # only sequences with tokens enter the trellis
     tags_flat = _viterbi_batch(E, seq_id, pos, lens, b.trans, b.start)
 
@@ -241,7 +282,6 @@ def tag_spans(texts: pd.Series, b: ModelBundle,
     norm_surf = normalize_series(pd.Series(surfaces, dtype=object)) \
         .to_numpy(dtype=object) if len(surfaces) else np.array([], dtype=object)
     # connective = norm token right after the mention (same sequence)
-    norm_np = norm.to_numpy(dtype=object)
     nxt = ei + 1
     conn_ok = (nxt < N) & (seq_id[np.minimum(nxt, N - 1)] == m_seq)
     conn = np.where(conn_ok, norm_np[np.minimum(nxt, N - 1)], "")
