@@ -254,6 +254,26 @@ def q_span_invariant(_sf_dir: str):
     })
 
 
+@q("q_posterior")
+def q_posterior(_sf_dir: str):
+    """A2 forward-backward confidence: one row per token with the
+    Viterbi tag and its marginal probability (reference --post mode;
+    validated against brute-force enumeration in tests — rows-only)."""
+    import ray.data as rd
+
+    from ner_ray.stages.spans import flatten_text_spans
+    from ner_ray.stages.tagger import PosteriorActor
+    from ner_ray.state.model import put_bundle
+
+    fx = _fx()
+    docs = rd.read_parquet(f"{fx}/docs.parquet")
+    bundle = put_bundle(f"{fx}/model.parquet", f"{fx}/alias.parquet")
+    spans = docs.map_batches(flatten_text_spans, batch_format="pyarrow")
+    return spans.map_batches(
+        PosteriorActor, fn_constructor_kwargs={"bundle": bundle},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
 # ------------------------------------------------- text analysis
 
 

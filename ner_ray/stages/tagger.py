@@ -85,6 +85,70 @@ class TaggerActor:
         return batch.append_column("mentions", mentions)
 
 
+class PosteriorActor(TaggerActor):
+    """A2: token-level decode + forward-backward confidence. Emits one
+    row per token with the Viterbi tag and the marginal probability of
+    that tag (the reference's --post scoring mode)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pandas().fillna("") \
+            .reset_index(drop=True)
+        prep = _prepare(texts, self.b, self._gaz_row)
+        if prep is None:
+            return pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "span_idx": pa.array([], pa.int32()),
+                "tok_idx": pa.array([], pa.int32()),
+                "token": pa.array([], pa.string()),
+                "tag": pa.array([], pa.string()),
+                "post": pa.array([], pa.float64()),
+            })
+        E, seq_id, pos, lens, flat_tokens = prep
+        tags = _viterbi_batch(E, seq_id, pos, lens, self.b.trans,
+                              self.b.start)
+        post = _posteriors_batch(E, seq_id, pos, lens, self.b.trans,
+                                 self.b.start)
+        labels = np.array(LABELS, dtype=object)
+        return pa.table({
+            "doc_id": pa.array(
+                batch.column("doc_id").to_numpy(zero_copy_only=False)[seq_id],
+                pa.string()),
+            "span_idx": pa.array(
+                batch.column("span_idx").to_numpy(zero_copy_only=False)[seq_id]
+                .astype(np.int32), pa.int32()),
+            "tok_idx": pa.array(pos.astype(np.int32), pa.int32()),
+            "token": pa.array(flat_tokens, pa.string()),
+            "tag": pa.array(labels[tags], pa.string()),
+            "post": pa.array(np.round(post[np.arange(len(tags)), tags], 6)),
+        })
+
+
+def _prepare(texts: pd.Series, b: ModelBundle, gaz_row: np.ndarray):
+    """Shared tokenize->features->emissions prep for decode/posterior."""
+    tok_lists = texts.str.split()
+    lens = tok_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+    flat = tok_lists.explode(ignore_index=True).dropna() \
+        .reset_index(drop=True).astype(object)
+    N = len(flat)
+    if N == 0:
+        return None
+    seq_id = np.repeat(np.arange(len(texts)), lens)
+    starts_flat = np.cumsum(lens) - lens
+    pos = np.arange(N) - np.repeat(starts_flat, lens)
+    codes, uniques = pd.factorize(flat)
+    uniq = pd.Series(uniques, dtype=object)
+    static_u, ids_low_u, u_norm = _unique_features(uniq, b)
+    norm_np = u_norm[codes]
+    first_tokens = {a.split(" ", 1)[0] for m in b.alias_by_len.values()
+                    for a in m}
+    u_first = np.fromiter((x in first_tokens for x in u_norm),
+                          dtype=bool, count=len(u_norm))
+    gaz_flags = _gazetteer(norm_np, u_first[codes], seq_id, b.alias_by_len)
+    E = _emissions(codes, static_u, ids_low_u, seq_id, gaz_flags, b,
+                   gaz_row)
+    return E, seq_id, pos, lens, flat.to_numpy(dtype=object)
+
+
 def _gazetteer(norm_np: np.ndarray, first_mask: np.ndarray,
                seq_id: np.ndarray,
                alias_by_len: dict[int, dict[str, str]]) -> np.ndarray:
@@ -174,6 +238,48 @@ def _emissions(codes: np.ndarray, static_u: np.ndarray,
         E += Wlow[shifted_within_seq(ids_low, seq_id, off), oi]
     E += b.weights["gaz"][gaz_row[gaz_flags], 0]
     return E
+
+
+def _logsumexp(x: np.ndarray, axis: int) -> np.ndarray:
+    m = x.max(axis=axis, keepdims=True)
+    return (m + np.log(np.sum(np.exp(x - m), axis=axis,
+                              keepdims=True))).squeeze(axis)
+
+
+def _posteriors_batch(E: np.ndarray, seq_id: np.ndarray, pos: np.ndarray,
+                      lens: np.ndarray, trans: np.ndarray,
+                      start: np.ndarray) -> np.ndarray:
+    """Forward-backward tag marginals P(y_t = y | x), vectorized across
+    the batch's sequences (operator A2 — the reference's posterior
+    scoring mode, cf. Wapiti src/decoder.c --post, reconstructed).
+    Returns (N, N_LABELS) probabilities for the flat token stream."""
+    B = len(lens)
+    T = int(lens.max()) if B else 0
+    if T == 0:
+        return np.zeros((0, N_LABELS))
+    Epad = np.zeros((B, T, N_LABELS))
+    Epad[seq_id, pos] = E
+    alpha = np.zeros((B, T, N_LABELS))
+    beta = np.zeros((B, T, N_LABELS))
+    alpha[:, 0] = start[None, :] + Epad[:, 0]
+    for t in range(1, T):
+        cand = alpha[:, t - 1][:, :, None] + trans[None, :, :]
+        a = _logsumexp(cand, axis=1) + Epad[:, t]
+        active = (t < lens)[:, None]
+        alpha[:, t] = np.where(active, a, alpha[:, t - 1])
+    # beta: 0 at each sequence's last position
+    for t in range(T - 2, -1, -1):
+        cand = (beta[:, t + 1] + Epad[:, t + 1])[:, None, :] + trans[None, :, :]
+        b = _logsumexp(cand, axis=2)
+        is_last = (t == lens - 1)[:, None]
+        inside = (t < lens - 1)[:, None]
+        beta[:, t] = np.where(inside, b, np.where(is_last, 0.0,
+                                                  beta[:, t + 1]))
+    log_post = alpha + beta
+    last = np.maximum(lens - 1, 0)
+    logZ = _logsumexp(alpha[np.arange(B), last], axis=1)
+    log_post -= logZ[:, None, None]
+    return np.exp(log_post[seq_id, pos])
 
 
 def _viterbi_batch(E: np.ndarray, seq_id: np.ndarray, pos: np.ndarray,
