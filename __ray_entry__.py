@@ -12,8 +12,18 @@ driver, bench.py and the pytest session fixture own the Ray session.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# Make the repo root importable for THIS process regardless of cwd.
+# NOTE: Ray worker processes inherit the driver's CWD (not its
+# sys.path mutations), so the driver must ray.init() with
+# cwd == /root/repo for workers to resolve `ner_ray` — which is how
+# the harness, bench.py, jobs/ and tests all run. Without ray.init
+# access we cannot ship the package via runtime_env py_modules.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry() -> Any:

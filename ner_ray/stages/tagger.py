@@ -70,18 +70,58 @@ def _get(bundle):
     return ray.get(bundle)
 
 
+class FeatureCache:
+    """Per-actor memo of unique-token feature rows, persisted ACROSS
+    batches — the payoff of the actor-pool design: after warmup, a
+    batch's per-token string kernels reduce to factorize + gathers
+    (token vocabularies are heavy-tailed; hit rates approach 100%)."""
+
+    def __init__(self, b: ModelBundle):
+        self.b = b
+        self.map: dict[str, int] = {}
+        self.static = np.zeros((0, N_LABELS))
+        self.ids_low = np.zeros(0, dtype=np.int64)
+        self.norm = np.array([], dtype=object)
+        self.tok_len = np.zeros(0, dtype=np.int64)
+        self.is_first = np.zeros(0, dtype=bool)
+        self.first_tokens = {a.split(" ", 1)[0]
+                             for m in b.alias_by_len.values() for a in m}
+
+    def lookup(self, uniques: np.ndarray) -> np.ndarray:
+        new = [u for u in uniques if u not in self.map]
+        if new:
+            s = pd.Series(new, dtype=object)
+            static, ids_low, u_norm = _unique_features(s, self.b)
+            base = len(self.map)
+            for i, u in enumerate(new):
+                self.map[u] = base + i
+            self.static = np.vstack([self.static, static])
+            self.ids_low = np.concatenate([self.ids_low, ids_low])
+            self.norm = np.concatenate([self.norm, u_norm])
+            self.tok_len = np.concatenate(
+                [self.tok_len, s.str.len().to_numpy(dtype=np.int64)])
+            self.is_first = np.concatenate(
+                [self.is_first,
+                 np.fromiter((x in self.first_tokens for x in u_norm),
+                             dtype=bool, count=len(u_norm))])
+        return np.fromiter((self.map[u] for u in uniques), dtype=np.int64,
+                           count=len(uniques))
+
+
 class TaggerActor:
-    """Callable class => Ray actor pool; model loaded once per actor."""
+    """Callable class => Ray actor pool; model loaded once per actor,
+    unique-token feature rows cached across batches."""
 
     def __init__(self, bundle):
         self.b = _get(bundle)
         # gaz flag index (0..8) -> row in the gaz weight matrix
         gid = self.b.value_ids["gaz"]
         self._gaz_row = np.array([gid.get(v, 0) for v in GAZ_VALUES])
+        self._cache = FeatureCache(self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mentions = tag_spans(batch.column("text").to_pandas(), self.b,
-                             self._gaz_row)
+                             self._gaz_row, cache=self._cache)
         return batch.append_column("mentions", mentions)
 
 
@@ -318,8 +358,8 @@ def _viterbi_batch(E: np.ndarray, seq_id: np.ndarray, pos: np.ndarray,
     return tags[seq_id, pos]
 
 
-def tag_spans(texts: pd.Series, b: ModelBundle,
-              gaz_row: np.ndarray) -> pa.ListArray:
+def tag_spans(texts: pd.Series, b: ModelBundle, gaz_row: np.ndarray,
+              cache: "FeatureCache | None" = None) -> pa.ListArray:
     """texts (one per span row) -> list<MENTION_STRUCT> per row."""
     nrows = len(texts)
     texts = texts.fillna("").reset_index(drop=True)
@@ -340,22 +380,30 @@ def tag_spans(texts: pd.Series, b: ModelBundle,
 
     # factorize ONCE: every per-token string kernel runs in unique space
     codes, uniques = pd.factorize(flat)
-    uniq = pd.Series(uniques, dtype=object)
-    static_u, ids_low_u, u_norm = _unique_features(uniq, b)
+    if cache is not None:
+        # actor-persistent memo: string kernels only touch NEW tokens
+        cidx = cache.lookup(uniques)
+        static_u = cache.static[cidx]
+        ids_low_u = cache.ids_low[cidx]
+        u_norm = cache.norm[cidx]
+        u_len = cache.tok_len[cidx]
+        u_first = cache.is_first[cidx]
+    else:
+        uniq = pd.Series(uniques, dtype=object)
+        static_u, ids_low_u, u_norm = _unique_features(uniq, b)
+        u_len = uniq.str.len().to_numpy(dtype=np.int64)
+        first_tokens = {a.split(" ", 1)[0] for m in b.alias_by_len.values()
+                        for a in m}
+        u_first = np.fromiter((x in first_tokens for x in u_norm),
+                              dtype=bool, count=len(u_norm))
     norm_np = u_norm[codes]
 
     # char offsets under the frozen single-space-join convention
-    u_len = uniq.str.len().to_numpy(dtype=np.int64)
     tok_len = u_len[codes]
     adv = tok_len + 1
     cum = np.cumsum(adv) - adv
     coff = cum - np.repeat(cum[starts_flat[lens > 0]], lens[lens > 0])
 
-    # alias-start candidates (unique space) -> sparse gazetteer
-    first_tokens = {a.split(" ", 1)[0] for m in b.alias_by_len.values()
-                    for a in m}
-    u_first = np.fromiter((x in first_tokens for x in u_norm),
-                          dtype=bool, count=len(u_norm))
     gaz_flags = _gazetteer(norm_np, u_first[codes], seq_id, b.alias_by_len)
     E = _emissions(codes, static_u, ids_low_u, seq_id, gaz_flags, b,
                    gaz_row)
@@ -379,14 +427,12 @@ def tag_spans(texts: pd.Series, b: ModelBundle,
     tok_end = pos[ei] + 1
     char_off = coff[si]
     ne_type = _TYPE_NAMES[tt[si]]
-    # surfaces by slicing the span text (offsets are exact under the
-    # frozen convention); sparse Python loop over MENTIONS only
-    t_np = texts.to_numpy(dtype=object)
-    b_char = coff[si]
-    e_char = coff[ei] + tok_len[ei]
-    surfaces = [t_np[s][bc:ec] for s, bc, ec in zip(m_seq, b_char, e_char)]
-    norm_surf = normalize_series(pd.Series(surfaces, dtype=object)) \
-        .to_numpy(dtype=object) if len(surfaces) else np.array([], dtype=object)
+    # surfaces = space-joined tokens, built VECTORIZED per mention
+    # length (char-wise normalization distributes over spaces, so the
+    # normalized surface is the join of normalized tokens)
+    tok_np = np.asarray(uniques, dtype=object)[codes]
+    surfaces = _join_ranges(tok_np, si, ei)
+    norm_surf = _join_ranges(norm_np, si, ei)
     # connective = norm token right after the mention (same sequence)
     nxt = ei + 1
     conn_ok = (nxt < N) & (seq_id[np.minimum(nxt, N - 1)] == m_seq)
@@ -400,6 +446,29 @@ def tag_spans(texts: pd.Series, b: ModelBundle,
     return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
 
 
+def _join_ranges(values: np.ndarray, si: np.ndarray,
+                 ei: np.ndarray) -> np.ndarray:
+    """Space-join values[si[m]..ei[m]] per mention m — vectorized per
+    mention LENGTH (pandas str.cat over gathered columns); mentions
+    longer than any vectorized group fall back to a sparse loop."""
+    m = len(si)
+    out = np.empty(m, dtype=object)
+    if m == 0:
+        return out
+    m_len = ei - si + 1
+    for L in np.unique(m_len):
+        sel = np.flatnonzero(m_len == L)
+        base = si[sel]
+        if L == 1:
+            out[sel] = values[base]
+        else:
+            first = pd.Series(values[base], dtype=object)
+            others = [pd.Series(values[base + k], dtype=object)
+                      for k in range(1, int(L))]
+            out[sel] = first.str.cat(others, sep=" ").to_numpy(dtype=object)
+    return out
+
+
 def _mentions_struct(tok_begin, tok_end, char_off, surfaces, norm_surf,
                      conn, ne_type, score) -> pa.StructArray:
     return pa.StructArray.from_arrays(
@@ -407,10 +476,10 @@ def _mentions_struct(tok_begin, tok_end, char_off, surfaces, norm_surf,
             pa.array(np.asarray(tok_begin, dtype=np.int32), pa.int32()),
             pa.array(np.asarray(tok_end, dtype=np.int32), pa.int32()),
             pa.array(np.asarray(char_off, dtype=np.int32), pa.int32()),
-            pa.array(list(surfaces), pa.string()),
-            pa.array(list(norm_surf), pa.string()),
-            pa.array(list(conn), pa.string()),
-            pa.array(list(ne_type), pa.string()),
+            pa.array(np.asarray(surfaces, dtype=object), pa.string()),
+            pa.array(np.asarray(norm_surf, dtype=object), pa.string()),
+            pa.array(np.asarray(conn, dtype=object), pa.string()),
+            pa.array(np.asarray(ne_type, dtype=object), pa.string()),
             pa.array(np.asarray(score, dtype=np.float64), pa.float64()),
         ],
         fields=list(MENTION_STRUCT),
