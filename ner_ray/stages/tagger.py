@@ -120,7 +120,7 @@ class TaggerActor:
         self._cache = FeatureCache(self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mentions = tag_spans(batch.column("text").to_pandas(), self.b,
+        mentions = tag_spans(batch.column("text"), self.b,
                              self._gaz_row, cache=self._cache)
         return batch.append_column("mentions", mentions)
 
@@ -131,9 +131,7 @@ class PosteriorActor(TaggerActor):
     that tag (the reference's --post scoring mode)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas().fillna("") \
-            .reset_index(drop=True)
-        prep = _prepare(texts, self.b, self._gaz_row)
+        prep = _prepare(batch.column("text"), self.b, self._gaz_row)
         if prep is None:
             return pa.table({
                 "doc_id": pa.array([], pa.string()),
@@ -163,43 +161,40 @@ class PosteriorActor(TaggerActor):
         })
 
 
-def _prepare(texts: pd.Series, b: ModelBundle, gaz_row: np.ndarray):
+def _prepare(texts, b: ModelBundle, gaz_row: np.ndarray):
     """Shared tokenize->features->emissions prep for decode/posterior."""
-    tok_lists = texts.str.split()
-    lens = tok_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
-    flat = tok_lists.explode(ignore_index=True).dropna() \
-        .reset_index(drop=True).astype(object)
-    N = len(flat)
+    nrows, lens, codes, uniques = _tokenize_arrow(texts)
+    N = len(codes)
     if N == 0:
         return None
-    seq_id = np.repeat(np.arange(len(texts)), lens)
+    seq_id = np.repeat(np.arange(nrows), lens)
     starts_flat = np.cumsum(lens) - lens
     pos = np.arange(N) - np.repeat(starts_flat, lens)
-    codes, uniques = pd.factorize(flat)
     uniq = pd.Series(uniques, dtype=object)
     static_u, ids_low_u, u_norm = _unique_features(uniq, b)
-    norm_np = u_norm[codes]
     first_tokens = {a.split(" ", 1)[0] for m in b.alias_by_len.values()
                     for a in m}
     u_first = np.fromiter((x in first_tokens for x in u_norm),
                           dtype=bool, count=len(u_norm))
-    gaz_flags = _gazetteer(norm_np, u_first[codes], seq_id, b.alias_by_len)
+    gaz_flags = _gazetteer(u_norm, codes, u_first[codes], seq_id,
+                           b.alias_by_len)
     E = _emissions(codes, static_u, ids_low_u, seq_id, gaz_flags, b,
                    gaz_row)
-    return E, seq_id, pos, lens, flat.to_numpy(dtype=object)
+    return E, seq_id, pos, lens, uniques[codes]
 
 
-def _gazetteer(norm_np: np.ndarray, first_mask: np.ndarray,
-               seq_id: np.ndarray,
+def _gazetteer(u_norm: np.ndarray, codes: np.ndarray,
+               first_mask: np.ndarray, seq_id: np.ndarray,
                alias_by_len: dict[int, dict[str, str]]) -> np.ndarray:
     """Greedy longest-match left-to-right -> gaz flag index per token
     (index into GAZ_VALUES: 0 = none, odd = B-, even = I-).
 
     ``first_mask`` marks positions whose token can START an alias
     (computed on unique tokens), so multi-token gram construction runs
-    only over those sparse candidates.
+    only over those sparse candidates. Token strings are reached via
+    codes->u_norm indirection (no full-stream materialization).
     """
-    N = len(norm_np)
+    N = len(codes)
     cand_pos = np.flatnonzero(first_mask)
     cand_L = np.zeros(N, dtype=np.int8)
     cand_t = np.full(N, -1, dtype=np.int8)
@@ -209,9 +204,8 @@ def _gazetteer(norm_np: np.ndarray, first_mask: np.ndarray,
         if not amap:
             continue
         if L == 1:
-            pos = cand_pos
-            for i in pos:
-                t = amap.get(norm_np[i])
+            for i in cand_pos:
+                t = amap.get(u_norm[codes[i]])
                 if t is not None and cand_L[i] == 0:
                     cand_L[i] = 1
                     cand_t[i] = type_idx[t]
@@ -221,7 +215,7 @@ def _gazetteer(norm_np: np.ndarray, first_mask: np.ndarray,
             for i in valid:  # sparse: alias-start candidates only
                 if cand_L[i] != 0:
                     continue
-                t = amap.get(" ".join(norm_np[i:i + L]))
+                t = amap.get(" ".join(u_norm[codes[i:i + L]]))
                 if t is not None:
                     cand_L[i] = L
                     cand_t[i] = type_idx[t]
@@ -358,16 +352,45 @@ def _viterbi_batch(E: np.ndarray, seq_id: np.ndarray, pos: np.ndarray,
     return tags[seq_id, pos]
 
 
-def tag_spans(texts: pd.Series, b: ModelBundle, gaz_row: np.ndarray,
+def _tokenize_arrow(texts) -> tuple:
+    """texts (pd.Series | pa.Array | pa.ChunkedArray) -> (nrows, lens,
+    codes, uniques): Arrow-native whitespace tokenization + dictionary
+    encoding. pc.utf8_split_whitespace matches str.split() exactly
+    (whitespace runs collapse, no empties); only the UNIQUE tokens
+    ever become Python strings."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pd.Series):
+        arr = pa.array(texts.fillna(""), pa.string())
+    else:
+        arr = texts
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+    # str.split() semantics: interior whitespace runs collapse in the
+    # Arrow kernel already; leading/trailing runs and empty inputs
+    # produce '' placeholder tokens -> trim first, then drop the
+    # placeholders ('' can never be a real token)
+    trimmed = pc.utf8_trim_whitespace(arr)
+    toks = pc.utf8_split_whitespace(trimmed)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    is_empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    lens = np.where(is_empty, 0, lens)
+    flat = pc.list_flatten(toks)
+    if is_empty.any():
+        flat = flat.filter(pc.not_equal(flat, ""))
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    return len(arr), lens, codes, uniques
+
+
+def tag_spans(texts, b: ModelBundle, gaz_row: np.ndarray,
               cache: "FeatureCache | None" = None) -> pa.ListArray:
     """texts (one per span row) -> list<MENTION_STRUCT> per row."""
-    nrows = len(texts)
-    texts = texts.fillna("").reset_index(drop=True)
-    tok_lists = texts.str.split()
-    lens = tok_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
-    flat = tok_lists.explode(ignore_index=True).dropna().reset_index(drop=True)
-    flat = flat.astype(object)
-    N = len(flat)
+    nrows, lens, codes, uniques = _tokenize_arrow(texts)
+    N = len(codes)
     empty = pa.ListArray.from_arrays(
         np.zeros(nrows + 1, dtype=np.int32), _mentions_struct([],
         [], [], [], [], [], [], []))
@@ -378,8 +401,6 @@ def tag_spans(texts: pd.Series, b: ModelBundle, gaz_row: np.ndarray,
     starts_flat = np.cumsum(lens) - lens
     pos = np.arange(N) - np.repeat(starts_flat, lens)
 
-    # factorize ONCE: every per-token string kernel runs in unique space
-    codes, uniques = pd.factorize(flat)
     if cache is not None:
         # actor-persistent memo: string kernels only touch NEW tokens
         cidx = cache.lookup(uniques)
@@ -396,7 +417,6 @@ def tag_spans(texts: pd.Series, b: ModelBundle, gaz_row: np.ndarray,
                         for a in m}
         u_first = np.fromiter((x in first_tokens for x in u_norm),
                               dtype=bool, count=len(u_norm))
-    norm_np = u_norm[codes]
 
     # char offsets under the frozen single-space-join convention
     tok_len = u_len[codes]
@@ -404,7 +424,8 @@ def tag_spans(texts: pd.Series, b: ModelBundle, gaz_row: np.ndarray,
     cum = np.cumsum(adv) - adv
     coff = cum - np.repeat(cum[starts_flat[lens > 0]], lens[lens > 0])
 
-    gaz_flags = _gazetteer(norm_np, u_first[codes], seq_id, b.alias_by_len)
+    gaz_flags = _gazetteer(u_norm, codes, u_first[codes], seq_id,
+                           b.alias_by_len)
     E = _emissions(codes, static_u, ids_low_u, seq_id, gaz_flags, b,
                    gaz_row)
     # only sequences with tokens enter the trellis
@@ -429,14 +450,15 @@ def tag_spans(texts: pd.Series, b: ModelBundle, gaz_row: np.ndarray,
     ne_type = _TYPE_NAMES[tt[si]]
     # surfaces = space-joined tokens, built VECTORIZED per mention
     # length (char-wise normalization distributes over spaces, so the
-    # normalized surface is the join of normalized tokens)
-    tok_np = np.asarray(uniques, dtype=object)[codes]
-    surfaces = _join_ranges(tok_np, si, ei)
-    norm_surf = _join_ranges(norm_np, si, ei)
+    # normalized surface is the join of normalized tokens). All
+    # gathers go codes->uniques, so only mention-covered tokens ever
+    # materialize as Python strings.
+    surfaces = _join_ranges(uniques, codes, si, ei)
+    norm_surf = _join_ranges(u_norm, codes, si, ei)
     # connective = norm token right after the mention (same sequence)
     nxt = ei + 1
     conn_ok = (nxt < N) & (seq_id[np.minimum(nxt, N - 1)] == m_seq)
-    conn = np.where(conn_ok, norm_np[np.minimum(nxt, N - 1)], "")
+    conn = np.where(conn_ok, u_norm[codes[np.minimum(nxt, N - 1)]], "")
 
     struct = _mentions_struct(tok_begin, tok_end, char_off, surfaces,
                               norm_surf, conn, ne_type,
@@ -446,11 +468,12 @@ def tag_spans(texts: pd.Series, b: ModelBundle, gaz_row: np.ndarray,
     return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
 
 
-def _join_ranges(values: np.ndarray, si: np.ndarray,
-                 ei: np.ndarray) -> np.ndarray:
-    """Space-join values[si[m]..ei[m]] per mention m — vectorized per
-    mention LENGTH (pandas str.cat over gathered columns); mentions
-    longer than any vectorized group fall back to a sparse loop."""
+def _join_ranges(uniq_values: np.ndarray, codes: np.ndarray,
+                 si: np.ndarray, ei: np.ndarray) -> np.ndarray:
+    """Space-join uniq_values[codes[si[m]..ei[m]]] per mention m —
+    vectorized per mention LENGTH (pandas str.cat over gathered
+    columns). Gathers are int-indexed; only mention tokens touch
+    Python strings."""
     m = len(si)
     out = np.empty(m, dtype=object)
     if m == 0:
@@ -460,10 +483,10 @@ def _join_ranges(values: np.ndarray, si: np.ndarray,
         sel = np.flatnonzero(m_len == L)
         base = si[sel]
         if L == 1:
-            out[sel] = values[base]
+            out[sel] = uniq_values[codes[base]]
         else:
-            first = pd.Series(values[base], dtype=object)
-            others = [pd.Series(values[base + k], dtype=object)
+            first = pd.Series(uniq_values[codes[base]], dtype=object)
+            others = [pd.Series(uniq_values[codes[base + k]], dtype=object)
                       for k in range(1, int(L))]
             out[sel] = first.str.cat(others, sep=" ").to_numpy(dtype=object)
     return out
