@@ -102,6 +102,87 @@ def semi_join(ds, keys, on: str, anti: bool = False):
                           num_cpus=1)
 
 
+class BloomFilter:
+    """Simple seed-stable Bloom filter (numpy bit array, k derived
+    hashes). Mergeable; serializes as bytes for broadcast."""
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 4):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, values) -> np.ndarray:
+        from ner_ray.util.hashing import hash_column
+
+        h = hash_column(values)
+        pos = np.empty((self.k, len(h)), dtype=np.int64)
+        for i in range(self.k):
+            # double hashing: h1 + i*h2 (Kirsch-Mitzenmacher)
+            h2 = (h >> np.uint64(32)) | np.uint64(1)
+            pos[i] = ((h + np.uint64(i) * h2) %
+                      np.uint64(self.n_bits)).astype(np.int64)
+        return pos
+
+    def add(self, values) -> None:
+        pos = self._positions(values).reshape(-1)
+        np.bitwise_or.at(self.bits, pos >> 3,
+                         (1 << (pos & 7)).astype(np.uint8))
+
+    def might_contain(self, values) -> np.ndarray:
+        pos = self._positions(values)
+        hit = np.ones(pos.shape[1], dtype=bool)
+        for i in range(self.k):
+            p = pos[i]
+            hit &= (self.bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return hit
+
+
+def bloom_semi_join(ds, keys, on: str, anti: bool = False,
+                    exact: bool = True, n_bits: int = 1 << 20):
+    """Semi/anti join via a broadcast Bloom filter prefilter.
+
+    With exact=True (default) survivors are re-checked against the
+    exact key set, so results equal semi_join (the Bloom pass just
+    cheapens the common-miss case). At 100 TB scale with a key set too
+    large to broadcast exactly, exact=False accepts the documented
+    false-positive rate (~(1-e^{-kn/m})^k) instead of a shuffle."""
+    import ray
+    import pyarrow.compute as pc
+
+    key_list = sorted(set(keys))
+    bf = BloomFilter(n_bits=n_bits)
+    bf.add(pd.Series(key_list))
+    bf_ref = ray.put(bf)
+    exact_ref = ray.put(pa.array(key_list)) if exact else None
+
+    class _Bloom:
+        def __init__(self):
+            self.bf = ray.get(bf_ref)
+            self.exact = ray.get(exact_ref) if exact_ref is not None else None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch.column(on)
+            maybe = self.bf.might_contain(
+                pd.Series(col.to_pandas()))
+            if anti:
+                # definite misses are definitely NOT in the set
+                keep_now = batch.filter(pa.array(~maybe))
+                rest = batch.filter(pa.array(maybe))
+                if self.exact is not None and len(rest):
+                    m = pc.is_in(rest.column(on), value_set=self.exact)
+                    rest = rest.filter(pc.invert(m))
+                    return pa.concat_tables([keep_now, rest])
+                return keep_now
+            out = batch.filter(pa.array(maybe))
+            if self.exact is not None and len(out):
+                m = pc.is_in(out.column(on), value_set=self.exact)
+                out = out.filter(m)
+            return out
+
+    return ds.map_batches(_Bloom, batch_format="pyarrow",
+                          concurrency=(1, 4), num_cpus=1)
+
+
 def asof_join_global(ds, ts_col: str, right_values, out_col: str):
     """Global (keyless) as-of: each row gets the greatest right value
     <= its ts (broadcast sorted array + np.searchsorted; rows with no

@@ -45,6 +45,44 @@ def tumbling_window_agg(ds, key: str, ts_col: str, value_col: str,
     )
 
 
+def sliding_window_agg(ds, key: str, ts_col: str, value_col: str,
+                       width: int = 2, unit: str = "day"):
+    """Sliding windows of `width` units, step 1 unit: each event is
+    assigned to the `width` windows covering it (flat emit), then the
+    usual partial+final two-phase aggregate. ``bucket`` = window START.
+    Equivalent SQL: UNION ALL of `width` shifted tumblings, re-grouped."""
+    from ray.data.aggregate import Sum
+
+    assert unit == "day", "sandbox oracle pins day units"
+    day_us = 86_400_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t.column(ts_col), unit=unit)
+        parts = []
+        for k in range(width):
+            shift = pc.subtract(
+                base, pa.scalar(k * day_us, pa.duration("us")))
+            parts.append(pa.table({
+                key: t.column(key),
+                "bucket": pc.cast(shift, pa.timestamp("us")),
+                value_col: t.column(value_col),
+            }))
+        return pa.concat_tables(parts)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([key, "bucket"]).aggregate(
+            [(value_col, "sum"), ([], "count_all")])
+        return g.rename_columns([key, "bucket", "psum", "pn"])
+
+    partials = exploded.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby([key, "bucket"]).aggregate(
+        Sum("psum", alias_name="sum_value"),
+        Sum("pn", alias_name="n"),
+    )
+
+
 def session_windows(ds, key: str, ts_col: str, gap_seconds: float):
     """Session windows per key: ts-sorted group scan; a new session
     starts when the inter-event gap exceeds ``gap_seconds``."""

@@ -382,6 +382,30 @@ def q_window_tumbling(sf_dir: str):
         batch_format="pyarrow")
 
 
+@q("q_window_sliding", sql="""
+SELECT user_id, bucket, round(sum(value), 4) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT user_id, date_trunc('day', ts) AS bucket, value FROM events
+  UNION ALL
+  SELECT user_id, date_trunc('day', ts) - INTERVAL 1 DAY AS bucket, value
+  FROM events
+) GROUP BY user_id, bucket
+""")
+def q_window_sliding(sf_dir: str):
+    """2-day sliding window, 1-day step (each event lands in 2
+    windows; window key = start day)."""
+    from ner_ray.functions.windows import sliding_window_agg
+
+    e = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+    out = sliding_window_agg(e, "user_id", "ts", "value", width=2)
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_value"),
+                               "sum_value",
+                               pc.round(t.column("sum_value"), 4)),
+        batch_format="pyarrow")
+
+
 @q("q_sessions", sql="""
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS BIGINT) AS n_events
