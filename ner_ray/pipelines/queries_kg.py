@@ -522,3 +522,40 @@ def q_media_stats(_sf_dir: str):
     from ner_ray.stages.multimodal import media_stats
 
     return media_stats(read_docs(f"{_fx()}/docs.parquet"))
+
+
+@q("q_frame_sample")
+def q_frame_sample(_sf_dir: str):
+    """Frame-sampling plumbing over media spans (every 10th frame up
+    to 8, deterministic fake frame counts; rows-only)."""
+    from ner_ray.sources.io import read_docs
+    from ner_ray.stages.multimodal import frame_samples
+
+    return frame_samples(read_docs(f"{_fx()}/docs.parquet"))
+
+
+@q("q_candidates", sql=f"""
+SELECT l.doc_id, l.span_idx, l.tok_begin, l.tok_end,
+       a.entity_id, a.prior
+FROM read_parquet('{_SMALL}/gold_mentions.parquet') l
+JOIN read_parquet('{_SMALL}/alias.parquet') a
+  ON a.ne_type = l.ne_type
+ AND a.alias = regexp_replace(lower(l.surface), '[0-9]', '0', 'g')
+""")
+def q_candidates(_sf_dir: str):
+    """J1 in isolation: the flat candidate-generation path (one row
+    per mention x matching alias entity); SQL recomputes the broadcast
+    join relationally from the goldens."""
+    from ner_ray.pipelines.flagship import mention_rows
+    from ner_ray.stages.link import CandidateStage
+    from ner_ray.state.model import put_bundle
+
+    fx = _fx()
+    bundle = put_bundle(f"{fx}/model.parquet", f"{fx}/alias.parquet")
+    mentions = _small_pipeline()["tagged"].map_batches(
+        mention_rows, batch_format="pyarrow")
+    cands = mentions.map_batches(
+        CandidateStage, fn_constructor_kwargs={"bundle": bundle},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    return cands.select_columns(["doc_id", "span_idx", "tok_begin",
+                                 "tok_end", "entity_id", "prior"])

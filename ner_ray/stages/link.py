@@ -126,8 +126,12 @@ class CandidateStage:
 
 def disambiguate_batch(batch: pa.Table) -> pa.Table:
     """Candidates -> links: argmax prior per mention, ties -> smallest
-    entity_id. Assumes one mention's candidates are co-located (true:
-    CandidateStage emits them contiguously)."""
+    entity_id. PARTITIONING ASSUMPTION: one mention's candidates are
+    co-located in the batch — true when applied with batch_size=None
+    over CandidateStage output blocks (candidates are emitted
+    contiguously per mention and blocks are never split). After a
+    shuffle of candidates, apply via groupby(mention key).map_groups
+    instead."""
     pdf = batch.to_pandas()
     if pdf.empty:
         out = pdf.rename(columns={"prior": "link_score"})

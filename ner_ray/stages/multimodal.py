@@ -17,6 +17,7 @@ worker heap; pick B so B × payload <= ~256 MiB).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ner_ray.stages.spans import flatten_spans
@@ -80,6 +81,69 @@ class FakeMediaDecoder:
             },
             schema=MEDIA_META,
         )
+
+
+FRAME_SAMPLE = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("frame_ref", pa.string()),
+    ]
+)
+
+
+class FakeFrameSampler:
+    """Frame-sampling stage for video/audio spans: emits every k-th
+    frame index up to a deterministic fake frame count (hash-derived).
+    Real decoders would demux here; the Ray plumbing (actor signature,
+    flat frame rows, small batches for binary payloads) is the tested
+    part."""
+
+    def __init__(self, stride: int = 10, max_frames: int = 8):
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans = flatten_spans(batch)
+        media = spans.filter(
+            pa.compute.not_equal(spans.column("kind"), "text"))
+        if len(media) == 0:
+            return FRAME_SAMPLE.empty_table()
+        refs = media.column("media_ref").to_numpy(zero_copy_only=False)
+        h = hash_column(media.column("media_ref"))
+        n_frames = (1 + (h % np.uint64(100))).astype(np.int64)
+        n_sampled = np.minimum((n_frames + self.stride - 1) // self.stride,
+                               self.max_frames).astype(np.int64)
+        rep = np.repeat(np.arange(len(media)), n_sampled)
+        frame_idx = (np.arange(int(n_sampled.sum()))
+                     - np.repeat(np.cumsum(n_sampled) - n_sampled,
+                                 n_sampled)) * self.stride
+        doc = media.column("doc_id").to_numpy(zero_copy_only=False)[rep]
+        sidx = media.column("span_idx").to_numpy(zero_copy_only=False)[rep]
+        ref_rep = refs[rep]
+        frame_ref = pd.Series(ref_rep).str.cat(
+            pd.Series(frame_idx).astype(str), sep="#frame=") \
+            .to_numpy(dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.string()),
+                "span_idx": pa.array(sidx.astype(np.int32), pa.int32()),
+                "media_ref": pa.array(ref_rep, pa.string()),
+                "frame_idx": pa.array(frame_idx.astype(np.int32),
+                                      pa.int32()),
+                "frame_ref": pa.array(frame_ref, pa.string()),
+            },
+            schema=FRAME_SAMPLE,
+        )
+
+
+def frame_samples(docs_ds, stride: int = 10, max_frames: int = 8,
+                  batch_size: int = 512):
+    return docs_ds.map_batches(
+        FakeFrameSampler(stride, max_frames), batch_format="pyarrow",
+        batch_size=batch_size)
 
 
 class RealMediaDecoder(FakeMediaDecoder):
