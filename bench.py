@@ -29,6 +29,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "q_grouped_agg", "q_partial_final", "q_hash_join", "q_window_tumbling",
     "q_dedup_exact", "q_ann_topk", "q_token_count", "q_quality",
+    "q_minhash_pairs", "q_embed_dup_pairs", "q_langid",
 ]
 
 
