@@ -105,9 +105,12 @@ def run_bench() -> dict:
                            file_extensions=["parquet"])
     bundle = put_bundle(f"{fx}/model.parquet", f"{fx}/alias.parquet")
     # pools scale proportionally with the CPU budget so the 8-vs-32
-    # comparison measures the same configuration at two sizes
-    pool = max(2, (NUM_CPUS * 3) // 4)
-    lpool = max(2, NUM_CPUS // 4)
+    # comparison measures the same configuration at two sizes; actor
+    # pools must NOT hold every CPU — the task operators (read,
+    # extract, combiners, the dedup Aggregate) need headroom or the
+    # pipeline serializes via autoscale eviction ping-pong
+    pool = max(2, (NUM_CPUS * 5) // 8)
+    lpool = max(1, NUM_CPUS // 8)
     alias_ds = rd.read_parquet(f"{fx}/alias.parquet",
                                columns=["entity_id", "alias"])
     canon_tbl = canonicalize_local(alias_ds)
@@ -116,7 +119,7 @@ def run_bench() -> dict:
     # materialized at the (tiny) resolved-triples point
     tagged = tagged_spans(docs, bundle, tagger_concurrency=(2, pool),
                           batch_size=1024)
-    linked = linked_spans(tagged, bundle, concurrency=(2, lpool))
+    linked = linked_spans(tagged, bundle, concurrency=(1, lpool))
     triples = raw_triples(linked)
     resolved = resolve_then_dedup(triples, canon_tbl).materialize()
     t_tag = time.perf_counter() - t0
@@ -159,9 +162,14 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     """Same job, fresh processes, 8 vs 32 CPUs (the sandbox proxy for
-    the N vs 4N node criterion — BASELINE.md)."""
+    the N vs 4N node criterion — BASELINE.md). Uses a 3x larger corpus
+    than the plain bench so compute dominates the ~10-15 s fixed
+    overhead (actor spin-up + per-shuffle latency) — mirroring the
+    100 TB regime where those costs amortize over hours; both levels
+    read the IDENTICAL staged input."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("NER_RAY_BENCH_REPLICAS", "400")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, timeout=3600,
