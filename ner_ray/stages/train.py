@@ -1,0 +1,312 @@
+"""Distributed CRF training (operator A5) — structured perceptron with
+iterative parameter mixing.
+
+The reference trains with thread-parallel gradient optimizers
+(L-BFGS / SGD-L1; cf. Wapiti src/gradient.c + src/thread.c,
+reconstructed — Lavergne, Cappe & Yvon, ACL 2010). The Ray-Data-native
+analogue implemented here is the distributed AVERAGED STRUCTURED
+PERCEPTRON with iterative parameter mixing (McDonald, Hall & Mann,
+NAACL 2010): each epoch, every batch of sequences trains a local copy
+of the weights sequentially (decode with Viterbi, additive update on
+errors) inside ``map_batches``; the driver averages the per-batch
+deltas (the "mixing" reduce) and re-broadcasts. The final averaged
+weights EXPORT TO THE STANDARD MODEL TABLE, so a trained model runs
+through the unmodified TaggerActor pipeline.
+
+Feature space = exactly the frozen template families
+(constants.FEATURE_FAMILIES) + transitions + start, built by a
+distributed vocabulary pass.
+
+Scale notes: weight tensors are dense per family (|values| x offsets x
+labels); at 10^12-doc scale the vocabulary pass pre-aggregates unique
+values per block (small shuffle) and per-epoch deltas are one dense
+tensor per batch — the classic mergeable-partial shape. Training data
+volume, not model size, is the budget (same as the reference's BCD
+regime).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ner_ray.constants import (
+    FEATURE_FAMILIES,
+    LABEL_INDEX,
+    LABELS,
+    MAX_ALIAS_TOKENS,
+    N_LABELS,
+)
+from ner_ray.oracle.reference_oracle import norm as _norm
+from ner_ray.oracle.reference_oracle import shape as _shape
+
+
+# --------------------------------------------------------- feature space
+
+
+def _family_value(fam: str, token: str, ntoken: str) -> str:
+    if fam == "low":
+        return ntoken
+    if fam == "shape":
+        return _shape(token)
+    if fam.startswith("pre"):
+        return ntoken[: int(fam[3])]
+    if fam.startswith("suf"):
+        return ntoken[-int(fam[3]):]
+    raise KeyError(fam)
+
+
+_LEX_FAMILIES = ["low", "shape", "pre1", "pre2", "pre3",
+                 "suf1", "suf2", "suf3"]
+
+
+def build_feature_space(seq_ds, alias_types: dict[str, str] | None = None):
+    """Distributed vocabulary pass: unique values per family.
+    seq_ds rows: (tokens: list<string>, ...). Returns value_ids dicts."""
+    def uniques(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pd.Series(toks.flatten().to_pylist(), dtype=object).unique()
+        fams, vals = [], []
+        for t in flat:
+            n = _norm(t)
+            for fam in _LEX_FAMILIES:
+                fams.append(fam)
+                vals.append(_family_value(fam, t, n))
+        out = pd.DataFrame({"fam": fams, "val": vals}).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    vocab = seq_ds.map_batches(uniques, batch_format="pyarrow").to_pandas() \
+        .drop_duplicates()
+    value_ids: dict[str, dict[str, int]] = {}
+    for fam, g in vocab.groupby("fam"):
+        value_ids[fam] = {v: i + 1 for i, v in enumerate(sorted(g["val"]))}
+    value_ids["gaz"] = {v: i + 1 for i, v in enumerate(
+        [""] + [f"{b}-{t}" for t in ("PER", "ORG", "LOC", "MISC")
+                for b in ("B", "I")])}
+    return value_ids
+
+
+@dataclass
+class TrainWeights:
+    """Dense per-family weight tensors (same layout as ModelBundle)."""
+
+    value_ids: dict[str, dict[str, int]]
+    weights: dict[str, np.ndarray]       # fam -> (n_vals+1, n_off, L)
+    trans: np.ndarray                    # (L, L)
+    start: np.ndarray                    # (L,)
+
+    @classmethod
+    def zeros(cls, value_ids) -> "TrainWeights":
+        w = {
+            fam: np.zeros((len(value_ids[fam]) + 1,
+                           len(FEATURE_FAMILIES[fam]), N_LABELS))
+            for fam in FEATURE_FAMILIES
+        }
+        return cls(value_ids, w, np.zeros((N_LABELS, N_LABELS)),
+                   np.zeros(N_LABELS))
+
+    def copy(self) -> "TrainWeights":
+        return TrainWeights(
+            self.value_ids, {f: w.copy() for f, w in self.weights.items()},
+            self.trans.copy(), self.start.copy())
+
+    def to_model_table(self) -> pa.Table:
+        """Export to the sparse (feature, label, weight) model format
+        consumed by ModelBundle / the oracle."""
+        feats, labels, ws = [], [], []
+        for fam, offs in FEATURE_FAMILIES.items():
+            inv = {i: v for v, i in self.value_ids[fam].items()}
+            W = self.weights[fam]
+            nz = np.argwhere(W != 0.0)
+            for (vi, oi, li) in nz:
+                if vi == 0:
+                    continue  # OOV row never exported
+                feats.append(f"{fam}:{offs[oi]}:{inv[int(vi)]}")
+                labels.append(LABELS[int(li)])
+                ws.append(float(W[vi, oi, li]))
+        for p in range(N_LABELS):
+            for n in range(N_LABELS):
+                if self.trans[p, n] != 0.0:
+                    feats.append(f"trans:{LABELS[p]}")
+                    labels.append(LABELS[n])
+                    ws.append(float(self.trans[p, n]))
+        for li in range(N_LABELS):
+            if self.start[li] != 0.0:
+                feats.append("start")
+                labels.append(LABELS[li])
+                ws.append(float(self.start[li]))
+        from ner_ray import schema as S
+
+        return pa.table({"feature": feats, "label": labels,
+                         "weight": ws}, schema=S.CRF_MODEL)
+
+
+# ------------------------------------------------------------ training
+
+
+def _sequence_features(tokens: list[str], value_ids,
+                       gaz_flags: list[str]) -> dict[str, np.ndarray]:
+    """Per family: (T, n_offsets) id matrix for one sequence."""
+    T = len(tokens)
+    norms = [_norm(t) for t in tokens]
+    ids: dict[str, np.ndarray] = {}
+    for fam, offs in FEATURE_FAMILIES.items():
+        vid = value_ids[fam]
+        if fam == "gaz":
+            base = np.array([vid.get(g, 0) for g in gaz_flags],
+                            dtype=np.int64)
+        else:
+            base = np.array(
+                [vid.get(_family_value(fam, t, n), 0)
+                 for t, n in zip(tokens, norms)], dtype=np.int64)
+        M = np.zeros((T, len(offs)), dtype=np.int64)
+        for oi, off in enumerate(offs):
+            lo = max(0, -off)
+            hi = min(T, T - off)
+            M[lo:hi, oi] = base[lo + off: hi + off]
+        ids[fam] = M
+    return ids
+
+
+def _viterbi(E, trans, start):
+    T = E.shape[0]
+    dp = start + E[0]
+    back = np.zeros((T, N_LABELS), dtype=np.int64)
+    for t in range(1, T):
+        cand = dp[:, None] + trans
+        back[t] = np.argmax(cand, axis=0)
+        dp = cand[back[t], np.arange(N_LABELS)] + E[t]
+    path = [int(np.argmax(dp))]
+    for t in range(T - 1, 0, -1):
+        path.append(int(back[t, path[-1]]))
+    return path[::-1]
+
+
+def _gaz_flags_for(tokens: list[str], alias_types: dict[str, str]):
+    from ner_ray.oracle.reference_oracle import gazetteer_flags
+
+    return gazetteer_flags([_norm(t) for t in tokens], alias_types)
+
+
+class EpochTrainer:
+    """map_batches worker: sequential perceptron over the batch's
+    sequences on a LOCAL weight copy; returns the dense delta."""
+
+    def __init__(self, weights_ref, alias_types_ref):
+        import ray
+
+        self.base: TrainWeights = ray.get(weights_ref) \
+            if not isinstance(weights_ref, TrainWeights) else weights_ref
+        at = alias_types_ref
+        if not isinstance(at, dict):
+            at = ray.get(alias_types_ref)
+        self.alias_types = at
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = self.base.copy()
+        n_err = n_seq = 0
+        toks_col = batch.column("tokens").to_pylist()
+        tags_col = batch.column("tags").to_pylist()
+        for tokens, gold_tags in zip(toks_col, tags_col):
+            if not tokens:
+                continue
+            n_seq += 1
+            gold = np.array([LABEL_INDEX[g] for g in gold_tags],
+                            dtype=np.int64)
+            gaz = _gaz_flags_for(tokens, self.alias_types)
+            ids = _sequence_features(tokens, w.value_ids, gaz)
+            T = len(tokens)
+            E = np.zeros((T, N_LABELS))
+            for fam, M in ids.items():
+                Wf = w.weights[fam]
+                for oi in range(M.shape[1]):
+                    E += Wf[M[:, oi], oi]
+            pred = np.array(_viterbi(E, w.trans, w.start), dtype=np.int64)
+            if np.array_equal(pred, gold):
+                continue
+            n_err += 1
+            diff = np.flatnonzero(pred != gold)
+            for fam, M in ids.items():
+                Wf = w.weights[fam]
+                for oi in range(M.shape[1]):
+                    np.add.at(Wf, (M[diff, oi], oi, gold[diff]), 1.0)
+                    np.add.at(Wf, (M[diff, oi], oi, pred[diff]), -1.0)
+            # transition/start updates over full paths
+            w.start[gold[0]] += 1.0
+            w.start[pred[0]] -= 1.0
+            np.add.at(w.trans, (gold[:-1], gold[1:]), 1.0)
+            np.add.at(w.trans, (pred[:-1], pred[1:]), -1.0)
+        # delta = local - base (dense, mergeable)
+        payload = {
+            f"d_{fam}": pa.array([(w.weights[fam] -
+                                   self.base.weights[fam]).tobytes()],
+                                 pa.binary())
+            for fam in FEATURE_FAMILIES
+        }
+        payload["d_trans"] = pa.array(
+            [(w.trans - self.base.trans).tobytes()], pa.binary())
+        payload["d_start"] = pa.array(
+            [(w.start - self.base.start).tobytes()], pa.binary())
+        payload["n_err"] = pa.array([n_err], pa.int64())
+        payload["n_seq"] = pa.array([n_seq], pa.int64())
+        return pa.table(payload)
+
+
+def train_perceptron(seq_ds, alias_types: dict[str, str],
+                     epochs: int = 5, batch_size: int = 256,
+                     concurrency=(1, 8)):
+    """Iterative-parameter-mixing training loop. seq_ds rows:
+    (tokens: list<string>, tags: list<string>). Returns the AVERAGED
+    TrainWeights (average of post-epoch weights — the standard
+    averaged-perceptron variance reduction at epoch granularity)."""
+    import ray
+
+    value_ids = build_feature_space(seq_ds)
+    w = TrainWeights.zeros(value_ids)
+    at_ref = ray.put(alias_types)
+    avg = TrainWeights.zeros(value_ids)
+    history = []
+    for _epoch in range(epochs):
+        w_ref = ray.put(w)
+        parts = seq_ds.map_batches(
+            EpochTrainer,
+            fn_constructor_kwargs={"weights_ref": w_ref,
+                                   "alias_types_ref": at_ref},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1,
+        ).to_pandas()
+        k = max(len(parts), 1)
+        n_err = int(parts["n_err"].sum()) if len(parts) else 0
+        n_seq = int(parts["n_seq"].sum()) if len(parts) else 0
+        for fam in FEATURE_FAMILIES:
+            shape = w.weights[fam].shape
+            delta = np.zeros(shape)
+            for buf in parts[f"d_{fam}"]:
+                delta += np.frombuffer(buf, dtype=np.float64).reshape(shape)
+            w.weights[fam] += delta / k     # parameter mixing (uniform)
+        dt = np.zeros_like(w.trans)
+        for buf in parts["d_trans"]:
+            dt += np.frombuffer(buf, dtype=np.float64).reshape(w.trans.shape)
+        w.trans += dt / k
+        dstart = np.zeros_like(w.start)
+        for buf in parts["d_start"]:
+            dstart += np.frombuffer(buf, dtype=np.float64)
+        w.start += dstart / k
+        for fam in FEATURE_FAMILIES:
+            avg.weights[fam] += w.weights[fam]
+        avg.trans += w.trans
+        avg.start += w.start
+        history.append({"epoch": _epoch, "errors": n_err, "sequences": n_seq})
+        if n_err == 0:
+            break
+    n = len(history)
+    for fam in FEATURE_FAMILIES:
+        avg.weights[fam] /= n
+    avg.trans /= n
+    avg.start /= n
+    return avg, history
