@@ -193,6 +193,152 @@ def _gaz_flags_for(tokens: list[str], alias_types: dict[str, str]):
     return gazetteer_flags([_norm(t) for t in tokens], alias_types)
 
 
+def _logsumexp_vec(x: np.ndarray, axis: int) -> np.ndarray:
+    m = x.max(axis=axis, keepdims=True)
+    return (m + np.log(np.exp(x - m).sum(axis=axis,
+                                         keepdims=True))).squeeze(axis)
+
+
+def sequence_nll_gradient(ids: dict[str, np.ndarray], gold: np.ndarray,
+                          w: "TrainWeights"):
+    """Negative log-likelihood and its gradient for ONE sequence —
+    the reference's actual CRF objective (observed features minus
+    model-expected features; cf. Wapiti src/gradient.c, reconstructed).
+
+    Returns (nll, grad_weights dict, grad_trans, grad_start); gradient
+    arrays have the same shapes as the weights. Gradients point in the
+    DESCENT direction is the caller's concern (these are d NLL / d w).
+    """
+    T = len(gold)
+    E = np.zeros((T, N_LABELS))
+    for fam, M in ids.items():
+        Wf = w.weights[fam]
+        for oi in range(M.shape[1]):
+            E += Wf[M[:, oi], oi]
+    # forward / backward in log space
+    alpha = np.zeros((T, N_LABELS))
+    alpha[0] = w.start + E[0]
+    for t in range(1, T):
+        alpha[t] = _logsumexp_vec(alpha[t - 1][:, None] + w.trans, 0) + E[t]
+    beta = np.zeros((T, N_LABELS))
+    for t in range(T - 2, -1, -1):
+        beta[t] = _logsumexp_vec(w.trans + (E[t + 1] + beta[t + 1])[None, :],
+                                 1)
+    logZ = _logsumexp_vec(alpha[-1], 0)
+    post = np.exp(alpha + beta - logZ)          # (T, L) unigram marginals
+
+    gold_score = w.start[gold[0]] + E[np.arange(T), gold].sum()
+    if T > 1:
+        gold_score += w.trans[gold[:-1], gold[1:]].sum()
+    nll = float(logZ - gold_score)
+
+    gw = {fam: np.zeros_like(w.weights[fam]) for fam in ids}
+    for fam, M in ids.items():
+        G = gw[fam]
+        for oi in range(M.shape[1]):
+            cols = np.full(T, oi)
+            np.add.at(G, (M[:, oi], cols), post)            # expected
+            np.add.at(G, (M[:, oi], cols, gold), -1.0)      # observed
+    g_start = post[0].copy()
+    g_start[gold[0]] -= 1.0
+    g_trans = np.zeros((N_LABELS, N_LABELS))
+    for t in range(1, T):
+        # pairwise marginals xi_t(i,j)
+        xi = alpha[t - 1][:, None] + w.trans + (E[t] + beta[t])[None, :]
+        xi = np.exp(xi - logZ)
+        g_trans += xi
+    if T > 1:
+        np.add.at(g_trans, (gold[:-1], gold[1:]), -1.0)
+    return nll, gw, g_trans, g_start
+
+
+class SGDEpochTrainer:
+    """map_batches worker for log-likelihood training: sums per-sequence
+    NLL gradients over the batch (mergeable dense partials)."""
+
+    def __init__(self, weights_ref, alias_types_ref):
+        import ray
+
+        self.w: TrainWeights = ray.get(weights_ref) \
+            if not isinstance(weights_ref, TrainWeights) else weights_ref
+        at = alias_types_ref
+        if not isinstance(at, dict):
+            at = ray.get(alias_types_ref)
+        self.alias_types = at
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        acc = {fam: np.zeros_like(self.w.weights[fam])
+               for fam in FEATURE_FAMILIES}
+        acc_t = np.zeros((N_LABELS, N_LABELS))
+        acc_s = np.zeros(N_LABELS)
+        nll_sum = 0.0
+        n_seq = 0
+        for tokens, gold_tags in zip(batch.column("tokens").to_pylist(),
+                                     batch.column("tags").to_pylist()):
+            if not tokens:
+                continue
+            n_seq += 1
+            gold = np.array([LABEL_INDEX[g] for g in gold_tags],
+                            dtype=np.int64)
+            gaz = _gaz_flags_for(tokens, self.alias_types)
+            ids = _sequence_features(tokens, self.w.value_ids, gaz)
+            nll, gw, gt, gs = sequence_nll_gradient(ids, gold, self.w)
+            nll_sum += nll
+            for fam in acc:
+                acc[fam] += gw[fam]
+            acc_t += gt
+            acc_s += gs
+        payload = {f"g_{fam}": pa.array([acc[fam].tobytes()], pa.binary())
+                   for fam in FEATURE_FAMILIES}
+        payload["g_trans"] = pa.array([acc_t.tobytes()], pa.binary())
+        payload["g_start"] = pa.array([acc_s.tobytes()], pa.binary())
+        payload["nll"] = pa.array([nll_sum], pa.float64())
+        payload["n_seq"] = pa.array([n_seq], pa.int64())
+        return pa.table(payload)
+
+
+def train_sgd(seq_ds, alias_types: dict[str, str], epochs: int = 10,
+              lr: float = 0.5, l2: float = 1e-4, batch_size: int = 256,
+              concurrency=(1, 8)):
+    """Distributed CRF log-likelihood training: per-batch gradient
+    partials inside map_batches, summed on the driver, one (full-batch)
+    gradient step per epoch with L2 — the map/reduce form of the
+    reference's thread-parallel gradient + optimizer loop."""
+    import ray
+
+    value_ids = build_feature_space(seq_ds)
+    w = TrainWeights.zeros(value_ids)
+    at_ref = ray.put(alias_types)
+    history = []
+    for epoch in range(epochs):
+        w_ref = ray.put(w)
+        parts = seq_ds.map_batches(
+            SGDEpochTrainer,
+            fn_constructor_kwargs={"weights_ref": w_ref,
+                                   "alias_types_ref": at_ref},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1,
+        ).to_pandas()
+        n = max(int(parts["n_seq"].sum()), 1)
+        nll = float(parts["nll"].sum()) / n
+        for fam in FEATURE_FAMILIES:
+            shape = w.weights[fam].shape
+            g = np.zeros(shape)
+            for buf in parts[f"g_{fam}"]:
+                g += np.frombuffer(buf, dtype=np.float64).reshape(shape)
+            w.weights[fam] -= lr * (g / n + l2 * w.weights[fam])
+        gt = np.zeros_like(w.trans)
+        for buf in parts["g_trans"]:
+            gt += np.frombuffer(buf, dtype=np.float64).reshape(w.trans.shape)
+        w.trans -= lr * (gt / n + l2 * w.trans)
+        gs = np.zeros_like(w.start)
+        for buf in parts["g_start"]:
+            gs += np.frombuffer(buf, dtype=np.float64)
+        w.start -= lr * (gs / n + l2 * w.start)
+        history.append({"epoch": epoch, "mean_nll": round(nll, 6)})
+    return w, history
+
+
 class EpochTrainer:
     """map_batches worker: sequential perceptron over the batch's
     sequences on a LOCAL weight copy; returns the dense delta."""

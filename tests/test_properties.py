@@ -128,3 +128,32 @@ def test_pipeline_parallelism_invariant(ray_session, tiny_dir):
     a = run(1)
     b = run(7)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_partial_final_mean_decomposition(ray_session):
+    """mean = sum/count decomposition in the combiner path matches a
+    direct computation (engine-level check of the algebraic split)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from ner_ray.functions.aggregates import partial_final_agg
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"],
+                         override_num_blocks=7)
+    out = partial_final_agg(
+        ds, ["l_returnflag"],
+        [("l_quantity", "mean", "avg_qty"),
+         ("l_quantity", "min", "min_qty"),
+         ("l_quantity", "max", "max_qty")],
+    ).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    want = duckdb.connect().execute(
+        f"SELECT l_returnflag, avg(l_quantity) avg_qty, "
+        f"min(l_quantity) min_qty, max(l_quantity) max_qty "
+        f"FROM read_parquet('{sf}/lineitem.parquet') "
+        f"GROUP BY 1 ORDER BY 1").fetchdf()
+    assert np.allclose(out["avg_qty"], want["avg_qty"], atol=1e-9)
+    assert (out["min_qty"] == want["min_qty"]).all()
+    assert (out["max_qty"] == want["max_qty"]).all()
