@@ -193,10 +193,18 @@ def _gaz_flags_for(tokens: list[str], alias_types: dict[str, str]):
     return gazetteer_flags([_norm(t) for t in tokens], alias_types)
 
 
-def _logsumexp_vec(x: np.ndarray, axis: int) -> np.ndarray:
-    m = x.max(axis=axis, keepdims=True)
-    return (m + np.log(np.exp(x - m).sum(axis=axis,
-                                         keepdims=True))).squeeze(axis)
+from ner_ray.stages.tagger import _logsumexp as _logsumexp_vec  # shared kernel
+
+
+def _clamp_pad_rows(w: "TrainWeights") -> None:
+    """Freeze row 0 (the pad/OOV row) at zero after every update so the
+    trained objective equals the SERVABLE model exactly: inference
+    (ModelBundle/oracle) scores out-of-range and unseen values as zero,
+    and to_model_table never exports row 0 — without the clamp,
+    training would learn sequence-boundary signal there that export
+    silently drops."""
+    for fam in w.weights:
+        w.weights[fam][0] = 0.0
 
 
 def sequence_nll_gradient(ids: dict[str, np.ndarray], gold: np.ndarray,
@@ -335,6 +343,7 @@ def train_sgd(seq_ds, alias_types: dict[str, str], epochs: int = 10,
         for buf in parts["g_start"]:
             gs += np.frombuffer(buf, dtype=np.float64)
         w.start -= lr * (gs / n + l2 * w.start)
+        _clamp_pad_rows(w)
         history.append({"epoch": epoch, "mean_nll": round(nll, 6)})
     return w, history
 
@@ -443,6 +452,7 @@ def train_perceptron(seq_ds, alias_types: dict[str, str],
         for buf in parts["d_start"]:
             dstart += np.frombuffer(buf, dtype=np.float64)
         w.start += dstart / k
+        _clamp_pad_rows(w)
         for fam in FEATURE_FAMILIES:
             avg.weights[fam] += w.weights[fam]
         avg.trans += w.trans
