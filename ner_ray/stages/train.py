@@ -208,14 +208,16 @@ def _clamp_pad_rows(w: "TrainWeights") -> None:
 
 
 def sequence_nll_gradient(ids: dict[str, np.ndarray], gold: np.ndarray,
-                          w: "TrainWeights"):
+                          w: "TrainWeights", out=None):
     """Negative log-likelihood and its gradient for ONE sequence —
     the reference's actual CRF objective (observed features minus
     model-expected features; cf. Wapiti src/gradient.c, reconstructed).
 
-    Returns (nll, grad_weights dict, grad_trans, grad_start); gradient
-    arrays have the same shapes as the weights. Gradients point in the
-    DESCENT direction is the caller's concern (these are d NLL / d w).
+    With ``out=(acc_weights, acc_trans, acc_start)`` the gradient is
+    scattered IN PLACE into the batch accumulators (O(T) touched
+    entries — no per-sequence dense tensors); without it fresh arrays
+    are returned (the finite-difference test path). These are
+    d NLL / d w; descent direction is the caller's concern.
     """
     T = len(gold)
     E = np.zeros((T, N_LABELS))
@@ -240,24 +242,27 @@ def sequence_nll_gradient(ids: dict[str, np.ndarray], gold: np.ndarray,
         gold_score += w.trans[gold[:-1], gold[1:]].sum()
     nll = float(logZ - gold_score)
 
-    gw = {fam: np.zeros_like(w.weights[fam]) for fam in ids}
+    if out is not None:
+        gw, g_trans, g_start_arr = out
+    else:
+        gw = {fam: np.zeros_like(w.weights[fam]) for fam in ids}
+        g_trans = np.zeros((N_LABELS, N_LABELS))
+        g_start_arr = np.zeros(N_LABELS)
     for fam, M in ids.items():
         G = gw[fam]
         for oi in range(M.shape[1]):
             cols = np.full(T, oi)
             np.add.at(G, (M[:, oi], cols), post)            # expected
             np.add.at(G, (M[:, oi], cols, gold), -1.0)      # observed
-    g_start = post[0].copy()
-    g_start[gold[0]] -= 1.0
-    g_trans = np.zeros((N_LABELS, N_LABELS))
+    g_start_arr += post[0]
+    g_start_arr[gold[0]] -= 1.0
     for t in range(1, T):
         # pairwise marginals xi_t(i,j)
         xi = alpha[t - 1][:, None] + w.trans + (E[t] + beta[t])[None, :]
-        xi = np.exp(xi - logZ)
-        g_trans += xi
+        g_trans += np.exp(xi - logZ)
     if T > 1:
         np.add.at(g_trans, (gold[:-1], gold[1:]), -1.0)
-    return nll, gw, g_trans, g_start
+    return nll, gw, g_trans, g_start_arr
 
 
 class SGDEpochTrainer:
@@ -290,12 +295,9 @@ class SGDEpochTrainer:
                             dtype=np.int64)
             gaz = _gaz_flags_for(tokens, self.alias_types)
             ids = _sequence_features(tokens, self.w.value_ids, gaz)
-            nll, gw, gt, gs = sequence_nll_gradient(ids, gold, self.w)
+            nll, _gw, _gt, _gs = sequence_nll_gradient(
+                ids, gold, self.w, out=(acc, acc_t, acc_s))
             nll_sum += nll
-            for fam in acc:
-                acc[fam] += gw[fam]
-            acc_t += gt
-            acc_s += gs
         payload = {f"g_{fam}": pa.array([acc[fam].tobytes()], pa.binary())
                    for fam in FEATURE_FAMILIES}
         payload["g_trans"] = pa.array([acc_t.tobytes()], pa.binary())
