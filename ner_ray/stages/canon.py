@@ -93,6 +93,7 @@ def canonicalize_distributed(edges_ds, num_partitions: int = 16):
         .aggregate(Min("entity_id", alias_name="label"))
         .materialize()
     )
+    converged = False
     for _round in range(MAX_ROUNDS):
         joined = edges.join(labels, join_type="inner",
                             num_partitions=num_partitions,
@@ -118,7 +119,13 @@ def canonicalize_distributed(edges_ds, num_partitions: int = 16):
         ).sum("c")
         labels = new_labels
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"canonicalize_distributed did not reach a fixpoint in "
+            f"{MAX_ROUNDS} rounds (component deeper than expected) — "
+            f"raise MAX_ROUNDS or inspect the alias graph")
     return labels.map_batches(
         lambda t: t.rename_columns(["entity_id", "canonical_id"]),
         batch_format="pyarrow",
@@ -129,6 +136,7 @@ def canonicalize(edges_ds, force_distributed: bool = False):
     """Dispatch by edge count (documented partitioning assumption:
     alias-sharing components are shallow; propagation rounds are
     bounded by fixture-time assertion)."""
+    edges_ds = edges_ds.materialize()  # count + consume = one execution
     n = edges_ds.count()
     if force_distributed or n > LOCAL_THRESHOLD:
         return canonicalize_distributed(edges_ds)
@@ -158,8 +166,10 @@ class ResolveStage:
         new_obj = map_to_strings(obj, self.canon, "")
         new_subj = np.where(new_subj == "", subj.to_numpy(), new_subj)
         new_obj = np.where(new_obj == "", obj.to_numpy(), new_obj)
-        batch = batch.set_column(0, "subj", pa.array(new_subj, pa.string()))
-        return batch.set_column(2, "obj", pa.array(new_obj, pa.string()))
+        batch = batch.set_column(batch.schema.get_field_index("subj"),
+                                 "subj", pa.array(new_subj, pa.string()))
+        return batch.set_column(batch.schema.get_field_index("obj"),
+                                "obj", pa.array(new_obj, pa.string()))
 
 
 def resolve_triples(deduped_ds, canon_table: pa.Table):

@@ -79,6 +79,9 @@ def minhash_band_rows(batch: pa.Table, text_col: str = "text",
     texts = batch.column(text_col).to_pandas()
     sig = minhash_signatures(texts)
     n = len(texts)
+    # docs with zero shingles all share the all-sentinel signature ->
+    # one degenerate O(m^2) bucket; drop them before banding
+    has_shingles = sig[:, 0] != np.iinfo(np.uint64).max
     band_hash = np.empty((n, N_BANDS), dtype=np.uint64)
     for bnd in range(N_BANDS):
         seg = sig[:, bnd * ROWS_PER_BAND:(bnd + 1) * ROWS_PER_BAND]
@@ -87,10 +90,12 @@ def minhash_band_rows(batch: pa.Table, text_col: str = "text",
             acc = (acc ^ seg[:, c]) * np.uint64(0x100000001B3)
         band_hash[:, bnd] = acc
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    keep = np.repeat(has_shingles, N_BANDS)
     return pa.table({
-        "band_id": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
-        "band_hash": pa.array(band_hash.reshape(-1)),
-        "doc_id": pa.array(np.repeat(ids, N_BANDS)),
+        "band_id": pa.array(
+            np.tile(np.arange(N_BANDS, dtype=np.int32), n)[keep]),
+        "band_hash": pa.array(band_hash.reshape(-1)[keep]),
+        "doc_id": pa.array(np.repeat(ids, N_BANDS)[keep]),
     })
 
 
@@ -211,6 +216,11 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
     def bands(t: pa.Table) -> pa.Table:
         sh = t.column("simhash").to_numpy(zero_copy_only=False)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # drop empty texts (simhash 0) — they'd form one degenerate
+        # O(m^2) bucket in every band
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        nonempty = np.array([bool(x.strip()) for x in texts])
+        sh, ids = sh[nonempty], ids[nonempty]
         n = len(sh)
         out_band = np.tile(np.arange(4, dtype=np.int32), n)
         out_key = np.empty(4 * n, dtype=np.uint64)

@@ -21,11 +21,18 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix (zero-copy flatten)."""
+    """list<float> column -> (n, d) float64 matrix (zero-copy flatten).
+    Rejects null embeddings (flatten() would silently misalign rows)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
+    if col.null_count:
+        raise ValueError("null embeddings are not supported")
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if n == 0:
+        return np.zeros((0, 1))
+    if len(flat) % n:
+        raise ValueError("ragged embedding column")
     return flat.reshape(n, -1)
 
 
@@ -55,11 +62,17 @@ def ann_topk(embeddings_ds, query_vecs: np.ndarray, k: int = 10,
             self.excl = ray.get(excl_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "query_idx": pa.array([], pa.int32()),
+                                 "sim": pa.array([], pa.float64())})
             m = _normalize(_to_matrix(batch.column(emb_col)))
             sims = m @ self.q  # (n, nq)
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             n, nq = sims.shape
-            kk = min(k, n)
+            # local top-(k + |excluded|) so dropping excluded ids can
+            # never evict a vector that belongs in the global top-k
+            kk = min(k + len(self.excl), n)
             out_id, out_q, out_s = [], [], []
             for qi in range(nq):
                 s = sims[:, qi]
@@ -114,6 +127,10 @@ def cosine_dup_pairs(embeddings_ds, threshold: float = 0.99,
             self.ids, self.full = ray.get(fref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"vec_a": pa.array([], pa.int64()),
+                                 "vec_b": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
             m = _normalize(_to_matrix(batch.column(emb_col)))
             bids = batch.column(id_col).to_numpy(zero_copy_only=False)
             sims = m @ self.full.T
@@ -166,6 +183,9 @@ def lsh_ann_topk(embeddings_ds, query_vec: np.ndarray, k: int = 10,
             self.planes, self.near, self.q = ray.get(pref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
             m = _normalize(_to_matrix(batch.column(emb_col)))
             buckets = _lsh_buckets(m, self.planes)
             mask = np.isin(buckets, list(self.near))

@@ -131,7 +131,8 @@ class PosteriorActor(TaggerActor):
     that tag (the reference's --post scoring mode)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        prep = _prepare(batch.column("text"), self.b, self._gaz_row)
+        prep = _prepare(batch.column("text"), self.b, self._gaz_row,
+                        cache=self._cache)
         if prep is None:
             return pa.table({
                 "doc_id": pa.array([], pa.string()),
@@ -161,7 +162,8 @@ class PosteriorActor(TaggerActor):
         })
 
 
-def _prepare(texts, b: ModelBundle, gaz_row: np.ndarray):
+def _prepare(texts, b: ModelBundle, gaz_row: np.ndarray,
+             cache: "FeatureCache | None" = None):
     """Shared tokenize->features->emissions prep for decode/posterior."""
     nrows, lens, codes, uniques = _tokenize_arrow(texts)
     N = len(codes)
@@ -170,12 +172,19 @@ def _prepare(texts, b: ModelBundle, gaz_row: np.ndarray):
     seq_id = np.repeat(np.arange(nrows), lens)
     starts_flat = np.cumsum(lens) - lens
     pos = np.arange(N) - np.repeat(starts_flat, lens)
-    uniq = pd.Series(uniques, dtype=object)
-    static_u, ids_low_u, u_norm = _unique_features(uniq, b)
-    first_tokens = {a.split(" ", 1)[0] for m in b.alias_by_len.values()
-                    for a in m}
-    u_first = np.fromiter((x in first_tokens for x in u_norm),
-                          dtype=bool, count=len(u_norm))
+    if cache is not None:
+        cidx = cache.lookup(uniques)
+        static_u = cache.static[cidx]
+        ids_low_u = cache.ids_low[cidx]
+        u_norm = cache.norm[cidx]
+        u_first = cache.is_first[cidx]
+    else:
+        uniq = pd.Series(uniques, dtype=object)
+        static_u, ids_low_u, u_norm = _unique_features(uniq, b)
+        first_tokens = {a.split(" ", 1)[0] for m in b.alias_by_len.values()
+                        for a in m}
+        u_first = np.fromiter((x in first_tokens for x in u_norm),
+                              dtype=bool, count=len(u_norm))
     gaz_flags = _gazetteer(u_norm, codes, u_first[codes], seq_id,
                            b.alias_by_len)
     E = _emissions(codes, static_u, ids_low_u, seq_id, gaz_flags, b,
