@@ -37,7 +37,7 @@ def partial_final_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
     def partial(t: pa.Table) -> pa.Table:
         cols = keys + sorted({c for c, _f, _n in partial_specs})
         g = t.select(list(dict.fromkeys(cols))).group_by(keys).aggregate(
-            [(c, f if f != "count" else "count") for c, f, _n in partial_specs]
+            [(c, f) for c, f, _n in partial_specs]
         )
         # pyarrow names output "{col}_{fn}"
         rename = {f"{c}_{f}": n for c, f, n in partial_specs}
@@ -47,9 +47,9 @@ def partial_final_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     final_aggs = []
-    for c, f, n in partial_specs:
-        agg_cls = {"sum": Sum, "count": Sum, "min": Min, "max": Max}[
-            _MERGEABLE.get(f, f) if f != "count" else "sum"]
+    for _c, f, n in partial_specs:
+        # count partials merge by summation; the others by themselves
+        agg_cls = {"sum": Sum, "count": Sum, "min": Min, "max": Max}[f]
         final_aggs.append(agg_cls(n, alias_name=n))
     out_ds = partials.groupby(keys).aggregate(*final_aggs)
 

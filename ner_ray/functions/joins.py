@@ -115,10 +115,9 @@ class BloomFilter:
         from ner_ray.util.hashing import hash_column
 
         h = hash_column(values)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)  # Kirsch-Mitzenmacher
         pos = np.empty((self.k, len(h)), dtype=np.int64)
         for i in range(self.k):
-            # double hashing: h1 + i*h2 (Kirsch-Mitzenmacher)
-            h2 = (h >> np.uint64(32)) | np.uint64(1)
             pos[i] = ((h + np.uint64(i) * h2) %
                       np.uint64(self.n_bits)).astype(np.int64)
         return pos
@@ -214,31 +213,61 @@ def asof_join_keyed(left, right, key: str, left_ts: str, right_ts: str,
     """Keyed as-of join (J5): co-locate by key via groupby, sort within
     the group, pd.merge_asof. Partitioning assumption: one key's rows
     fit in a group task (true for dimension-keyed event streams)."""
-    # harmonize schemas so union() is legal (missing cols -> nulls)
-    lcols = left.schema().names
-    rcols = right.schema().names
-    all_cols = list(dict.fromkeys(lcols + rcols)) + ["_side"]
+    # harmonize schemas so union() is legal: missing columns become
+    # TYPED nulls (a bare np.nan would turn the other side's timestamp
+    # column into float64 and break merge_asof on mixed groups)
+    import pyarrow as pa
 
-    def tag_side(side):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_side"] = side
-            for c in all_cols:
-                if c not in df.columns:
-                    df[c] = np.nan
-            return df[all_cols]
+    lschema, rschema = left.schema(), right.schema()
+    fields: dict[str, pa.DataType] = {}
+    for sch in (lschema, rschema):
+        for name, typ in zip(sch.names, sch.types):
+            fields.setdefault(name, typ)
+    all_cols = list(fields) + ["_side"]
+
+    def tag_side(side, own_cols):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            arrays, names = [], []
+            for c in all_cols[:-1]:
+                if c in own_cols:
+                    arrays.append(t.column(c))
+                else:
+                    arrays.append(pa.nulls(n, fields[c]))
+                names.append(c)
+            arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+            names.append("_side")
+            return pa.table(dict(zip(names, arrays)))
 
         return fn
 
-    l = left.map_batches(tag_side(0), batch_format="pandas")
-    r = right.map_batches(tag_side(1), batch_format="pandas")
+    l = left.map_batches(tag_side(0, set(lschema.names)),
+                         batch_format="pyarrow")
+    r = right.map_batches(tag_side(1, set(rschema.names)),
+                          batch_format="pyarrow")
     both = l.union(r)
 
+    lcols = list(lschema.names)
+    # right side contributes only its own columns (plus its ts key);
+    # shared names like the group key stay left-owned
+    rcols = [c for c in rschema.names
+             if c not in set(lcols) or c == right_ts]
+
+    extra = [c for c in rcols if c not in set(lcols)]
+
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0].dropna(axis=1, how="all").drop(columns="_side")
-        rg = g[g["_side"] == 1].dropna(axis=1, how="all").drop(columns="_side")
-        if lg.empty or rg.empty:
-            return lg.iloc[:0]
+        lg = g[g["_side"] == 0][lcols]
+        rg = g[g["_side"] == 1][rcols]
+        if lg.empty:
+            return pd.concat([lg.iloc[:0], rg[extra].iloc[:0]], axis=1)
+        if rg.empty:
+            # LEFT semantics: keep left rows with typed-null right cols
+            out = lg.copy()
+            for c in extra:
+                out[c] = pd.Series(
+                    pd.NaT if pa.types.is_timestamp(fields[c]) else np.nan,
+                    index=out.index)
+            return out
         out = pd.merge_asof(lg.sort_values(left_ts),
                             rg.sort_values(right_ts),
                             left_on=left_ts, right_on=right_ts,

@@ -65,12 +65,12 @@ class Step:
     fn_constructor_kwargs: dict = field(default_factory=dict)
 
     def apply(self, ds):
-        kwargs: dict = {"batch_format": self.batch_format}
+        kwargs: dict = {"batch_format": self.batch_format,
+                        "num_cpus": self.num_cpus}
         if self.batch_size is not None:
             kwargs["batch_size"] = self.batch_size
         if self.stateful:
             kwargs["concurrency"] = self.concurrency or (1, 4)
-            kwargs["num_cpus"] = self.num_cpus
             if self.fn_constructor_kwargs:
                 kwargs["fn_constructor_kwargs"] = self.fn_constructor_kwargs
         elif self.concurrency is not None:

@@ -88,8 +88,9 @@ def read_conll(paths, labeled: bool = True):
         tables = []
         for path, data in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
+            # full path as doc_id: basenames collide across directories
             tables.append(parse_conll_text(
-                data.decode("utf-8"), os.path.basename(path), labeled))
+                data.decode("utf-8"), path, labeled))
         return pa.concat_tables(tables) if tables else SEQUENCES.empty_table()
 
     return files.map_batches(parse, batch_format="pyarrow")

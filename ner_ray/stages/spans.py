@@ -102,4 +102,6 @@ def check_span_invariant(input_ds, output_ds) -> bool:
         .set_index("doc_id")["span_sig"]
     )
     joined = pd.concat([a, b], axis=1, join="inner", keys=["in", "out"])
-    return bool((joined["in"] == joined["out"]).all()) and len(joined) == len(b)
+    # equality of matched rows AND no docs dropped on either side
+    return (bool((joined["in"] == joined["out"]).all())
+            and len(joined) == len(b) == len(a))

@@ -46,7 +46,7 @@ class BpeishTokenCounter:
         self.pat = re.compile(BPE_ISH)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = batch["text"].str.count(BPE_ISH)
+        n = batch["text"].str.count(self.pat)  # compiled once per actor
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "n_bpeish": n.astype("int64")})
 

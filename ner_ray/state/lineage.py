@@ -40,7 +40,8 @@ def input_fingerprint(path: str) -> str:
     """Fingerprint of an input file/dir: paths + sizes + mtimes-ns."""
     entries = []
     if os.path.isdir(path):
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            dirs.sort()  # deterministic traversal across filesystems
             for f in sorted(files):
                 p = os.path.join(root, f)
                 st = os.stat(p)

@@ -111,7 +111,11 @@ class ModelBundle:
             L = a.count(" ") + 1
             if L <= MAX_ALIAS_TOKENS:
                 alias_by_len[L][a] = t
-            alias_types[a] = t
+            # frozen semantics: an alias maps to exactly ONE ne_type
+            # (the oracle's build_alias_maps enforces the same)
+            prev = alias_types.setdefault(a, t)
+            if prev != t:
+                raise ValueError(f"alias {a!r} maps to multiple ne_types")
             cand_tmp.setdefault(a, []).append((e, float(p), t))
 
         candidates: dict[str, tuple[list[str], np.ndarray, str]] = {}

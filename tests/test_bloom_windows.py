@@ -55,3 +55,38 @@ def test_sliding_window_matches_duckdb(ray_session):
     assert (a["bucket"].to_numpy() == b["bucket"].to_numpy()).all()
     assert np.allclose(a["sum_value"], b["sum_value"], atol=1e-9)
     assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
+
+
+def test_asof_join_keyed_with_timestamps(ray_session):
+    """Keyed as-of with datetime columns: typed-null schema
+    harmonization must survive the union + groupby (review finding)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ner_ray.functions.joins import asof_join_keyed
+
+    def ts(h):
+        return dt.datetime(2020, 1, 1, h)
+
+    left = rd.from_arrow(pa.table({
+        "k": ["a", "a", "b", "c"],
+        "lts": pa.array([ts(5), ts(9), ts(7), ts(1)], pa.timestamp("us")),
+        "lval": [1, 2, 3, 4],
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": ["a", "a", "b"],
+        "rts": pa.array([ts(4), ts(8), ts(9)], pa.timestamp("us")),
+        "rval": [10.0, 20.0, 30.0],
+    }))
+    out = asof_join_keyed(left, right, "k", "lts", "rts").to_pandas()
+    out = out.sort_values(["k", "lts"]).reset_index(drop=True)
+    got = {(r["k"], r["lval"]): (None if pd.isna(r["rval"]) else r["rval"])
+           for _, r in out.iterrows()}
+    # a@5 -> rts 4 (10.0); a@9 -> rts 8 (20.0); b@7 -> no earlier right
+    # row (NaN); c has no right rows at all -> kept with nulls (LEFT)
+    assert got[("a", 1)] == 10.0
+    assert got[("a", 2)] == 20.0
+    assert got[("b", 3)] is None
+    assert got[("c", 4)] is None  # left row kept, right cols null
