@@ -76,34 +76,56 @@ class FeatureCache:
     batch's per-token string kernels reduce to factorize + gathers
     (token vocabularies are heavy-tailed; hit rates approach 100%)."""
 
+    _INIT_CAP = 4096
+
     def __init__(self, b: ModelBundle):
         self.b = b
         self.map: dict[str, int] = {}
-        self.static = np.zeros((0, N_LABELS))
-        self.ids_low = np.zeros(0, dtype=np.int64)
-        self.norm = np.array([], dtype=object)
-        self.tok_len = np.zeros(0, dtype=np.int64)
-        self.is_first = np.zeros(0, dtype=bool)
+        self.size = 0
+        cap = self._INIT_CAP
+        self.static = np.zeros((cap, N_LABELS))
+        self.ids_low = np.zeros(cap, dtype=np.int64)
+        self.norm = np.empty(cap, dtype=object)
+        self.tok_len = np.zeros(cap, dtype=np.int64)
+        self.is_first = np.zeros(cap, dtype=bool)
         self.first_tokens = {a.split(" ", 1)[0]
                              for m in b.alias_by_len.values() for a in m}
+
+    def _ensure_capacity(self, need: int) -> None:
+        cap = len(self.ids_low)
+        if need <= cap:
+            return
+        new_cap = max(need, cap * 2)  # geometric growth: amortized O(1)
+        grow = new_cap - cap
+        self.static = np.vstack([self.static,
+                                 np.zeros((grow, N_LABELS))])
+        self.ids_low = np.concatenate([self.ids_low,
+                                       np.zeros(grow, dtype=np.int64)])
+        self.norm = np.concatenate([self.norm,
+                                    np.empty(grow, dtype=object)])
+        self.tok_len = np.concatenate([self.tok_len,
+                                       np.zeros(grow, dtype=np.int64)])
+        self.is_first = np.concatenate([self.is_first,
+                                        np.zeros(grow, dtype=bool)])
 
     def lookup(self, uniques: np.ndarray) -> np.ndarray:
         new = [u for u in uniques if u not in self.map]
         if new:
             s = pd.Series(new, dtype=object)
             static, ids_low, u_norm = _unique_features(s, self.b)
-            base = len(self.map)
+            base = self.size
+            self._ensure_capacity(base + len(new))
             for i, u in enumerate(new):
                 self.map[u] = base + i
-            self.static = np.vstack([self.static, static])
-            self.ids_low = np.concatenate([self.ids_low, ids_low])
-            self.norm = np.concatenate([self.norm, u_norm])
-            self.tok_len = np.concatenate(
-                [self.tok_len, s.str.len().to_numpy(dtype=np.int64)])
-            self.is_first = np.concatenate(
-                [self.is_first,
-                 np.fromiter((x in self.first_tokens for x in u_norm),
-                             dtype=bool, count=len(u_norm))])
+            end = base + len(new)
+            self.static[base:end] = static
+            self.ids_low[base:end] = ids_low
+            self.norm[base:end] = u_norm
+            self.tok_len[base:end] = s.str.len().to_numpy(dtype=np.int64)
+            self.is_first[base:end] = np.fromiter(
+                (x in self.first_tokens for x in u_norm), dtype=bool,
+                count=len(u_norm))
+            self.size = end
         return np.fromiter((self.map[u] for u in uniques), dtype=np.int64,
                            count=len(uniques))
 
