@@ -193,6 +193,59 @@ def _gaz_flags_for(tokens: list[str], alias_types: dict[str, str]):
     return gazetteer_flags([_norm(t) for t in tokens], alias_types)
 
 
+# ------------------------------------------------- featurize once
+
+
+def featurize(seq_ds, value_ids, alias_types: dict[str, str]):
+    """One-time distributed featurization: (tokens, tags) rows ->
+    per-family id matrices (flattened) + gold label ids. Training
+    epochs then consume pure integers — the string kernels (normalize,
+    shape, affixes, gazetteer longest-match) run once per corpus, not
+    once per epoch (the repo's factorize-first rule)."""
+    fams = list(FEATURE_FAMILIES)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks_col = batch.column("tokens").to_pylist()
+        tags_col = batch.column("tags").to_pylist()
+        out: dict[str, list] = {"t_len": [], "gold": []}
+        for fam in fams:
+            out[f"f_{fam}"] = []
+        for tokens, gold_tags in zip(toks_col, tags_col):
+            gold = [LABEL_INDEX[g] for g in gold_tags]
+            gaz = _gaz_flags_for(tokens, alias_types)
+            ids = _sequence_features(tokens, value_ids, gaz)
+            out["t_len"].append(len(tokens))
+            out["gold"].append(gold)
+            for fam in fams:
+                out[f"f_{fam}"].append(ids[fam].reshape(-1).tolist())
+        cols = {"t_len": pa.array(out["t_len"], pa.int32()),
+                "gold": pa.array(out["gold"], pa.list_(pa.int64()))}
+        for fam in fams:
+            cols[f"f_{fam}"] = pa.array(out[f"f_{fam}"],
+                                        pa.list_(pa.int64()))
+        return pa.table(cols)
+
+    return seq_ds.map_batches(fn, batch_format="pyarrow").materialize()
+
+
+def _rows_from_featurized(batch: pa.Table):
+    """Yield (ids dict, gold ndarray) per featurized row."""
+    fams = list(FEATURE_FAMILIES)
+    t_len = batch.column("t_len").to_pylist()
+    gold_col = batch.column("gold").to_pylist()
+    fam_cols = {fam: batch.column(f"f_{fam}").to_pylist() for fam in fams}
+    for i, T in enumerate(t_len):
+        if T == 0:
+            continue
+        gold = np.asarray(gold_col[i], dtype=np.int64)
+        ids = {
+            fam: np.asarray(fam_cols[fam][i], dtype=np.int64)
+                   .reshape(T, len(FEATURE_FAMILIES[fam]))
+            for fam in fams
+        }
+        yield ids, gold
+
+
 from ner_ray.stages.tagger import _logsumexp as _logsumexp_vec  # shared kernel
 
 
@@ -267,17 +320,14 @@ def sequence_nll_gradient(ids: dict[str, np.ndarray], gold: np.ndarray,
 
 class SGDEpochTrainer:
     """map_batches worker for log-likelihood training: sums per-sequence
-    NLL gradients over the batch (mergeable dense partials)."""
+    NLL gradients over the batch (mergeable dense partials). Consumes
+    PRE-FEATURIZED rows (pure integer matrices)."""
 
-    def __init__(self, weights_ref, alias_types_ref):
+    def __init__(self, weights_ref):
         import ray
 
         self.w: TrainWeights = ray.get(weights_ref) \
             if not isinstance(weights_ref, TrainWeights) else weights_ref
-        at = alias_types_ref
-        if not isinstance(at, dict):
-            at = ray.get(alias_types_ref)
-        self.alias_types = at
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         acc = {fam: np.zeros_like(self.w.weights[fam])
@@ -286,15 +336,8 @@ class SGDEpochTrainer:
         acc_s = np.zeros(N_LABELS)
         nll_sum = 0.0
         n_seq = 0
-        for tokens, gold_tags in zip(batch.column("tokens").to_pylist(),
-                                     batch.column("tags").to_pylist()):
-            if not tokens:
-                continue
+        for ids, gold in _rows_from_featurized(batch):
             n_seq += 1
-            gold = np.array([LABEL_INDEX[g] for g in gold_tags],
-                            dtype=np.int64)
-            gaz = _gaz_flags_for(tokens, self.alias_types)
-            ids = _sequence_features(tokens, self.w.value_ids, gaz)
             nll, _gw, _gt, _gs = sequence_nll_gradient(
                 ids, gold, self.w, out=(acc, acc_t, acc_s))
             nll_sum += nll
@@ -318,14 +361,13 @@ def train_sgd(seq_ds, alias_types: dict[str, str], epochs: int = 10,
 
     value_ids = build_feature_space(seq_ds)
     w = TrainWeights.zeros(value_ids)
-    at_ref = ray.put(alias_types)
+    feat_ds = featurize(seq_ds, value_ids, alias_types)
     history = []
     for epoch in range(epochs):
         w_ref = ray.put(w)
-        parts = seq_ds.map_batches(
+        parts = feat_ds.map_batches(
             SGDEpochTrainer,
-            fn_constructor_kwargs={"weights_ref": w_ref,
-                                   "alias_types_ref": at_ref},
+            fn_constructor_kwargs={"weights_ref": w_ref},
             batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency, num_cpus=1,
         ).to_pandas()
@@ -354,30 +396,18 @@ class EpochTrainer:
     """map_batches worker: sequential perceptron over the batch's
     sequences on a LOCAL weight copy; returns the dense delta."""
 
-    def __init__(self, weights_ref, alias_types_ref):
+    def __init__(self, weights_ref):
         import ray
 
         self.base: TrainWeights = ray.get(weights_ref) \
             if not isinstance(weights_ref, TrainWeights) else weights_ref
-        at = alias_types_ref
-        if not isinstance(at, dict):
-            at = ray.get(alias_types_ref)
-        self.alias_types = at
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = self.base.copy()
         n_err = n_seq = 0
-        toks_col = batch.column("tokens").to_pylist()
-        tags_col = batch.column("tags").to_pylist()
-        for tokens, gold_tags in zip(toks_col, tags_col):
-            if not tokens:
-                continue
+        for ids, gold in _rows_from_featurized(batch):
             n_seq += 1
-            gold = np.array([LABEL_INDEX[g] for g in gold_tags],
-                            dtype=np.int64)
-            gaz = _gaz_flags_for(tokens, self.alias_types)
-            ids = _sequence_features(tokens, w.value_ids, gaz)
-            T = len(tokens)
+            T = len(gold)
             E = np.zeros((T, N_LABELS))
             for fam, M in ids.items():
                 Wf = w.weights[fam]
@@ -425,15 +455,14 @@ def train_perceptron(seq_ds, alias_types: dict[str, str],
 
     value_ids = build_feature_space(seq_ds)
     w = TrainWeights.zeros(value_ids)
-    at_ref = ray.put(alias_types)
+    feat_ds = featurize(seq_ds, value_ids, alias_types)
     avg = TrainWeights.zeros(value_ids)
     history = []
     for _epoch in range(epochs):
         w_ref = ray.put(w)
-        parts = seq_ds.map_batches(
+        parts = feat_ds.map_batches(
             EpochTrainer,
-            fn_constructor_kwargs={"weights_ref": w_ref,
-                                   "alias_types_ref": at_ref},
+            fn_constructor_kwargs={"weights_ref": w_ref},
             batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency, num_cpus=1,
         ).to_pandas()
