@@ -31,6 +31,10 @@ ADJACENT_CONNECTIVE: str = "adj"
 # Feature template families: (family, offsets). Offsets follow the
 # Wapiti %x[row,col] convention: the observation at relative token
 # offset `row`. Values out of sequence range use the PAD sentinel.
+# NOTE: only the 'low' family is window-offset-parameterized; the
+# oracle and tagger implement the single-offset families (shape,
+# affixes, gaz) structurally — their (0,) entries here declare tensor
+# shapes for model/trainer layouts, not a tunable window.
 TOKEN_OFFSETS: tuple[int, ...] = (-2, -1, 0, 1, 2)
 FEATURE_FAMILIES: dict[str, tuple[int, ...]] = {
     "low": TOKEN_OFFSETS,          # normalized token identity

@@ -24,11 +24,12 @@ class PRF:
 
     @property
     def precision(self) -> float:
-        return self.tp / (self.tp + self.fp) if (self.tp + self.fp) else 1.0
+        # conlleval semantics: 0 when nothing was predicted
+        return self.tp / (self.tp + self.fp) if (self.tp + self.fp) else 0.0
 
     @property
     def recall(self) -> float:
-        return self.tp / (self.tp + self.fn) if (self.tp + self.fn) else 1.0
+        return self.tp / (self.tp + self.fn) if (self.tp + self.fn) else 0.0
 
     @property
     def f1(self) -> float:

@@ -421,13 +421,44 @@ def derive_gold(docs: pa.Table, alias_tbl: pa.Table, model_tbl: pa.Table) -> dic
 # ------------------------------------------------------------ ensure
 
 
+def _semantics_fingerprint() -> str:
+    """Hash of the frozen-semantics sources + seed: a cached fixture is
+    valid only if the code that defines the reference is unchanged."""
+    import hashlib
+
+    import ner_ray.constants as c
+    import ner_ray.oracle.reference_oracle as o
+
+    h = hashlib.sha256()
+    h.update(str(SEED).encode())
+    for mod in (c, o):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    with open(__file__, "rb") as f:
+        h.update(f.read())
+    return h.hexdigest()[:32]
+
+
 def ensure_fixtures(size: str = "small", root: str | None = None) -> str:
     """Generate (once, cached) the fixture directory for `size`; return
-    its path. Atomic: writes to a tmp dir, renames, drops _COMPLETE."""
+    its path. Atomic and concurrency-safe: per-pid tmp dir, os.replace,
+    a losing racer defers to the winner. The _COMPLETE marker carries a
+    fingerprint of the frozen-semantics sources, so editing the oracle
+    / constants / generator invalidates stale goldens automatically."""
     assert size in SIZES, size
     root = root or FIXTURE_ROOT
     out_dir = os.path.join(root, size)
-    if os.path.exists(os.path.join(out_dir, "_COMPLETE")):
+    fp = _semantics_fingerprint()
+    marker = os.path.join(out_dir, "_COMPLETE")
+
+    def _valid() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read().strip() == fp
+        except OSError:
+            return False
+
+    if _valid():
         return out_dir
 
     n_docs, n_entities, with_gold = SIZES[size]
@@ -436,7 +467,7 @@ def ensure_fixtures(size: str = "small", root: str | None = None) -> str:
     model_tbl = gen_model(rng, alias_tbl)
     docs = gen_docs(rng, n_docs, alias_tbl)
 
-    tmp_dir = out_dir + ".tmp"
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
     os.makedirs(tmp_dir)
@@ -455,10 +486,18 @@ def ensure_fixtures(size: str = "small", root: str | None = None) -> str:
     with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     with open(os.path.join(tmp_dir, "_COMPLETE"), "w") as f:
-        f.write("ok\n")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    os.replace(tmp_dir, out_dir)
+        f.write(fp + "\n")
+    try:
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.replace(tmp_dir, out_dir)
+    except OSError:
+        # a concurrent generator won the race; defer to its (identical,
+        # deterministic) output if it is complete and current
+        if _valid():
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            return out_dir
+        raise
     return out_dir
 
 

@@ -332,8 +332,12 @@ def components_from_alias(alias_rows) -> dict[str, str]:
 
 
 def component_diameter_hops(alias_rows) -> int:
-    """Max rounds of bipartite min-label propagation needed to converge
-    (asserted <= CANON_MAX_HOPS at fixture-generation time)."""
+    """Rounds of SYNCHRONOUS (Jacobi) bipartite min-label propagation
+    needed to converge — each round reads the previous round's labels
+    only, exactly matching the round-capped DuckDB canon oracle SQL
+    (queries_kg._canon_sql). An in-place (Gauss-Seidel) sweep would
+    under-count depending on alias iteration order and make the
+    fixture-time assert unsound."""
     edges: dict[str, list[str]] = {}
     label = {}
     for alias, entity_id, _t, _p in alias_rows:
@@ -341,15 +345,16 @@ def component_diameter_hops(alias_rows) -> int:
         label[entity_id] = entity_id
     rounds = 0
     while True:
-        changed = False
+        prev = dict(label)
+        new_label = dict(prev)
         for ents in edges.values():
-            m = min(label[e] for e in ents)
+            m = min(prev[e] for e in ents)  # previous round only
             for e in ents:
-                if label[e] > m:
-                    label[e] = m
-                    changed = True
-        if not changed:
+                if new_label[e] > m:
+                    new_label[e] = m
+        if new_label == label:
             return rounds
+        label = new_label
         rounds += 1
 
 

@@ -39,6 +39,10 @@ def hash_column(values) -> np.ndarray:
     if hasattr(values, "to_pandas"):  # pyarrow Array / ChunkedArray
         values = values.to_pandas()
     s = values if isinstance(values, pd.Series) else pd.Series(values)
+    if pd.api.types.is_integer_dtype(s.dtype):
+        # width-normalize: int32(-1) and int64(-1) must hash equally
+        # (pandas hashes the raw two's-complement view otherwise)
+        s = s.astype(np.int64)
     h = pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
     return _splitmix(h)
 
