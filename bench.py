@@ -83,11 +83,16 @@ def run_bench() -> dict:
 
     # corpus prep (untimed, cached): amplified interleaved docs staged
     # as real parquet files so the timed pipeline reads properly-sized
-    # blocks from storage (parallelism = blocks)
+    # blocks from storage (parallelism = blocks). Cache key includes
+    # the fixture-semantics fingerprint so regenerated aliases/goldens
+    # invalidate stale corpora.
+    from ner_ray.fixtures.gen import _semantics_fingerprint
+
     sf_tag = os.path.basename(SF_DIR.rstrip("/"))
-    corpus_dir = f"/tmp/ner_ray_bench_corpus/{sf_tag}_r{replicas}"
+    fp = _semantics_fingerprint()[:12]
+    corpus_dir = f"/tmp/ner_ray_bench_corpus/{sf_tag}_r{replicas}_{fp}"
     if not os.path.exists(os.path.join(corpus_dir, "_COMPLETE")):
-        tmp = corpus_dir + ".tmp"
+        tmp = f"{corpus_dir}.tmp.{os.getpid()}"
         if os.path.exists(tmp):
             import shutil
 
@@ -96,8 +101,17 @@ def run_bench() -> dict:
                            replicas=replicas).write_parquet(tmp)
         with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
             f.write("ok\n")
-        os.replace(tmp, corpus_dir)
-    n_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet").count() * replicas
+        if not os.path.exists(os.path.join(corpus_dir, "_COMPLETE")):
+            os.replace(tmp, corpus_dir)
+    # warm the STAGED corpus too (it is what the timed section reads)
+    for name in os.listdir(corpus_dir):
+        with open(os.path.join(corpus_dir, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(
+        f"{SF_DIR}/documents.parquet").num_rows * replicas
 
     # ---------------- headline: flagship KG build ----------------
     t0 = time.perf_counter()

@@ -65,7 +65,7 @@ def main() -> int:
         input_fingerprint,
     )
     from ner_ray.state.model import put_bundle
-    from ner_ray.util.hashing import hash_column
+    from ner_ray.util.hashing import hash_column, to_bucket
 
     cm = CheckpointManager(args.checkpoint)
     fp_docs = input_fingerprint(args.docs)
@@ -106,17 +106,23 @@ def main() -> int:
         adj = build_adjacency(resolved)
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            b = (hash_column(t.column("src")) %
-                 np.uint64(args.n_buckets)).astype(np.int64)
+            b = to_bucket(hash_column(t.column("src")), args.n_buckets)
             return t.append_column("bucket", pa.array(b))
 
         return adj.map_batches(add_bucket, batch_format="pyarrow")
 
     adjacency = cm.run_stage("adjacency", fp_adj, compute_adj,
                              partition_cols=["bucket"])
+    fail_hook("adjacency")
 
-    # final output dir = symlink-free copy of the adjacency checkpoint
+    # materialize the final graph under --output (bucket-partitioned),
+    # independent of the checkpoint dir's lifetime
+    import shutil
+
     os.makedirs(args.output, exist_ok=True)
+    out_graph = os.path.join(args.output, "adjacency")
+    shutil.copytree(cm.stage_dir("adjacency", fp_adj), out_graph,
+                    dirs_exist_ok=True)
     summary = {
         "triples": triples.count(),
         "deduped": deduped.count(),
