@@ -113,6 +113,11 @@ def run_bench() -> dict:
     n_docs = _pq.read_metadata(
         f"{SF_DIR}/documents.parquet").num_rows * replicas
 
+    # flush staging writeback so dirty-page flushes don't bleed into
+    # the timed section (staging a fresh multi-GB corpus otherwise
+    # contaminates the first measurement by tens of seconds)
+    os.sync()
+
     # ---------------- headline: flagship KG build ----------------
     t0 = time.perf_counter()
     docs = rd.read_parquet(corpus_dir,
