@@ -1,9 +1,12 @@
 """The flagship KG-construction pipeline (SURVEY.md §3.2).
 
 read interleaved docs -> flatten text spans -> [TaggerActor pool]
--> [LinkerStage] -> triples -> exact dedup (shuffle #1)
--> canonicalize (Q3) -> resolve (broadcast) -> adjacency (salted
-shuffle #2/#3) -> partitioned sink.
+-> [LinkerStage] -> triples -> canonical rewrite (Q3 broadcast map,
+fused) -> dedup (shuffle #1) -> adjacency (combiner shuffle #2)
+-> partitioned sink. The canonicalize/resolve tail goes through the
+size dispatch in canon.canonicalize_and_resolve, so a large alias
+table switches to distributed label propagation + join-based resolve
+instead of silently union-finding on the driver.
 
 Everything upstream of dedup is a fused map-only chain that preserves
 doc/span locality by construction (nested mention/link lists — batch
@@ -18,7 +21,7 @@ import pyarrow as pa
 
 from ner_ray import schema as S
 from ner_ray.sources.io import read_docs
-from ner_ray.stages.canon import canonicalize_local, resolve_triples
+from ner_ray.stages.canon import canonicalize_and_resolve
 from ner_ray.stages.dedup import dedup_triples
 from ner_ray.stages.graph import build_adjacency
 from ner_ray.stages.link import LinkerStage
@@ -90,11 +93,13 @@ def build_graph(docs_ds, model_path: str, alias_path: str, *,
                           batch_size=batch_size)
     linked = linked_spans(tagged, bundle_ref)
     triples = raw_triples(linked)
+    # lazy two-step dedup kept for stage-level consumers; the flagship
+    # tail itself uses the FUSED resolve-then-dedup (one all-to-all)
+    # behind the canonicalize() size dispatch
     deduped = dedup_triples(triples)
 
     alias_ds = rd.read_parquet(alias_path, columns=["entity_id", "alias"])
-    canon_tbl = canonicalize_local(alias_ds)
-    resolved = resolve_triples(deduped, canon_tbl)
+    canon_tbl, resolved = canonicalize_and_resolve(triples, alias_ds)
     adjacency = build_adjacency(resolved, n_salts=n_salts)
     return {
         "tagged": tagged,

@@ -212,6 +212,31 @@ def resolve_then_dedup(raw_triples_ds, canon_table: pa.Table):
     return dedup_triples(rewritten)
 
 
+def canonicalize_and_resolve(raw_triples_ds, alias_edges_ds,
+                             force_distributed: bool = False):
+    """The flagship's Q3+Q4 tail with BOTH dispatches applied:
+
+    * small alias side (<= LOCAL_THRESHOLD edges): driver union-find
+      canon + the fused ``resolve_then_dedup`` broadcast path — ONE
+      all-to-all total (rewrite raw triples, dedup once).
+    * large alias side: distributed label-propagation canon + dedup +
+      join-based resolve (the canonical map is itself a Dataset too
+      large to broadcast).
+
+    Returns (canon, resolved) where canon is a pa.Table (small path)
+    or Dataset (large path)."""
+    edges = alias_edges_ds.materialize()  # count + consume = one execution
+    n = edges.count()
+    if not force_distributed and n <= LOCAL_THRESHOLD:
+        canon_tbl = canonicalize_local(edges)
+        return canon_tbl, resolve_then_dedup(raw_triples_ds, canon_tbl)
+    from ner_ray.stages.dedup import dedup_triples
+
+    canon_ds = canonicalize_distributed(edges)
+    deduped = dedup_triples(raw_triples_ds)
+    return canon_ds, resolve_triples_join(deduped, canon_ds)
+
+
 def resolve_triples_join(deduped_ds, canon_ds, num_partitions: int = 16):
     """Q4 scale path: two hash joins (subj then obj) for canonical maps
     too large to broadcast; identical semantics to resolve_triples."""

@@ -32,43 +32,74 @@ def _add_salt(batch: pa.Table, n_salts: int) -> pa.Table:
         "salt", pa.array((h % np.uint64(n_salts)).astype(np.int64)))
 
 
-def _edges_sorted(df: pd.DataFrame) -> list[dict]:
-    df = df.sort_values(["weight", "obj", "pred"],
-                        ascending=[False, True, True], kind="stable")
-    return [
-        {"dst": d, "pred": p, "weight": int(w)}
-        for d, p, w in zip(df["obj"], df["pred"], df["weight"])
-    ]
+import pyarrow.compute as pc
+
+_EDGE_SORT = [("weight", "descending"), ("dst", "ascending"),
+              ("pred", "ascending")]
+_PARTIAL_SCHEMA = pa.schema(
+    [("src", pa.string()), ("partial", pa.list_(S.EDGE_STRUCT))])
 
 
-def _partial_group(df: pd.DataFrame) -> pd.DataFrame:
-    src = df["subj"].iloc[0]
-    salt = df["salt"].iloc[0]
-    return pd.DataFrame(
-        {"src": [src], "salt": [salt], "partial": [_edges_sorted(df)]}
-    )
+def _edge_struct(t: pa.Table) -> pa.StructArray:
+    return pa.StructArray.from_arrays(
+        [t.column("dst").combine_chunks(), t.column("pred").combine_chunks(),
+         t.column("weight").combine_chunks()],
+        fields=list(S.EDGE_STRUCT))
 
 
-def _merge_group(df: pd.DataFrame) -> pd.DataFrame:
-    edges = [e for part in df["partial"] for e in part]
-    edges.sort(key=lambda e: (-e["weight"], e["dst"], e["pred"]))
-    return pd.DataFrame(
-        {"src": [df["src"].iloc[0]], "degree": [len(edges)],
-         "edges": [edges]}
-    )
-
-
-def _partial_batch(df: pd.DataFrame) -> pd.DataFrame:
+def _partial_batch(t: pa.Table) -> pa.Table:
     """Within-batch combiner: one partial edge list per src per batch
-    (no shuffle). Plays the same anti-skew role as salting — a hot
-    src's edges are split across however many batches carry them."""
-    if df.empty:
-        return pd.DataFrame({"src": [], "partial": []})
-    groups = df.groupby("subj", sort=False)
-    return pd.DataFrame({
-        "src": [k for k, _ in groups],
-        "partial": [_edges_sorted(g) for _, g in groups],
-    })
+    (no shuffle), built entirely with Arrow kernels — lexicographic
+    sort_indices + ListArray.from_arrays, no per-row Python. Plays the
+    same anti-skew role as salting: a hot src's edges are split across
+    however many batches carry them."""
+    if len(t) == 0:
+        return _PARTIAL_SCHEMA.empty_table()
+    idx = pc.sort_indices(
+        t, sort_keys=[("subj", "ascending")] +
+        [(k if k != "dst" else "obj", o) for k, o in _EDGE_SORT])
+    t = t.take(idx)
+    subj = t.column("subj").to_numpy(zero_copy_only=False)
+    starts = np.concatenate(
+        [[0], np.nonzero(subj[1:] != subj[:-1])[0] + 1])
+    offsets = pa.array(
+        np.concatenate([starts, [len(t)]]).astype(np.int32), pa.int32())
+    et = t.rename_columns(
+        [{"subj": "src", "obj": "dst"}.get(c, c) for c in t.column_names])
+    edges = pa.ListArray.from_arrays(offsets, _edge_struct(et))
+    return pa.table({"src": pa.array(subj[starts], pa.string()),
+                     "partial": edges}, schema=_PARTIAL_SCHEMA)
+
+
+def _partial_group(t: pa.Table) -> pa.Table:
+    """Salted-mode phase 1: one (src, salt) group -> one partial list."""
+    if len(t) == 0:
+        return _PARTIAL_SCHEMA.insert(1, pa.field("salt", pa.int64())) \
+            .empty_table()
+    part = _partial_batch(t.drop_columns(["salt"]))
+    return part.add_column(1, "salt", t.column("salt").slice(0, 1))
+
+
+def _flat_edges(col) -> pa.Table:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten()
+    return pa.table({"dst": flat.field("dst"), "pred": flat.field("pred"),
+                     "weight": flat.field("weight")})
+
+
+def _merge_group(t: pa.Table) -> pa.Table:
+    """Phase 2: merge one src's partial lists, final edge order
+    (weight desc, dst asc, pred asc) via Arrow sort_indices."""
+    et = _flat_edges(t.column("partial"))
+    et = et.take(pc.sort_indices(et, sort_keys=_EDGE_SORT))
+    edges = pa.ListArray.from_arrays(
+        pa.array([0, len(et)], pa.int32()), _edge_struct(et))
+    return pa.table({
+        "src": t.column("src").slice(0, 1),
+        "degree": pa.array([len(et)], pa.int64()),
+        "edges": edges,
+    }, schema=S.ADJACENCY)
 
 
 def build_adjacency(resolved_ds, n_salts: int = DEFAULT_SALTS,
@@ -81,18 +112,24 @@ def build_adjacency(resolved_ds, n_salts: int = DEFAULT_SALTS,
     mode="salted": explicit salted two-phase groupby((src, salt)) ->
     groupby(src) — the shape the north rule names; equal output,
     asserted in tests.
+
+    Both phases stay in pyarrow batch format end to end: edge lists
+    are list<struct> columns built with sort_indices +
+    ListArray.from_arrays — no Python loop touches a row even in the
+    final shuffle stage.
     """
     if mode == "combiner":
         partials = resolved_ds.map_batches(_partial_batch,
-                                           batch_format="pandas")
+                                           batch_format="pyarrow")
         return partials.groupby("src").map_groups(
-            _merge_group, batch_format="pandas")
+            _merge_group, batch_format="pyarrow")
     salted = resolved_ds.map_batches(
         lambda t: _add_salt(t, n_salts), batch_format="pyarrow")
     partials = salted.groupby(["subj", "salt"]).map_groups(
-        _partial_group, batch_format="pandas")
-    return partials.groupby("src").map_groups(
-        _merge_group, batch_format="pandas")
+        _partial_group, batch_format="pyarrow")
+    return partials.map_batches(
+        lambda t: t.drop_columns(["salt"]), batch_format="pyarrow"
+    ).groupby("src").map_groups(_merge_group, batch_format="pyarrow")
 
 
 def adjacency_table(resolved_ds, n_salts: int = DEFAULT_SALTS) -> pa.Table:

@@ -7,9 +7,11 @@
                        Hamming-verify candidates
 * n-gram Jaccard     — vectorized set-overlap verification
 
-All shuffles move (band_hash, doc_id) pairs or partial aggregates,
-never raw documents. Signatures use the seed-stable hash (never
-Python hash()), so runs are reproducible across processes.
+Candidate generation shuffles only (band_hash, doc_id) pairs or
+partial aggregates, never raw documents; the verify stage joins the
+(small) candidate set back to the docs table, so only candidate rows'
+texts ever move. Signatures use the seed-stable hash (never Python
+hash()), so runs are reproducible across processes.
 """
 
 from __future__ import annotations
@@ -154,37 +156,59 @@ def verify_jaccard(pairs_df: pd.DataFrame, texts_by_id: dict,
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
+def pairwise_jaccard_batch(df: pd.DataFrame, k: int = 3,
+                           text_a: str = "text_a",
+                           text_b: str = "text_b") -> pd.DataFrame:
+    """Vectorized per-row shingle Jaccard between two text columns.
+    Each row is one candidate pair; no cross-row state, so this is a
+    pure batch kernel (safe inside map_batches at any scale)."""
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame({"doc_a": df.get("doc_a", pd.Series([])),
+                             "doc_b": df.get("doc_b", pd.Series([])),
+                             "jaccard": pd.Series([], dtype="float64")})
+    ra, ha = _shingle_hashes(df[text_a].reset_index(drop=True), k)
+    rb, hb = _shingle_hashes(df[text_b].reset_index(drop=True), k)
+    sa = pd.DataFrame({"row": ra, "h": ha}).drop_duplicates()
+    sb = pd.DataFrame({"row": rb, "h": hb}).drop_duplicates()
+    na = sa.groupby("row").size().reindex(range(n), fill_value=0).to_numpy()
+    nb = sb.groupby("row").size().reindex(range(n), fill_value=0).to_numpy()
+    inter = sa.merge(sb, on=["row", "h"]).groupby("row").size() \
+        .reindex(range(n), fill_value=0).to_numpy()
+    union = (na + nb - inter).astype(np.float64)
+    jac = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+    return pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
+                         "doc_b": df["doc_b"].to_numpy(),
+                         "jaccard": np.round(jac, 6)})
+
+
 def minhash_near_dups(docs_ds, text_col: str = "text", k: int = 3,
-                      threshold: float = 0.7):
-    """Full MinHash-LSH near-dup pipeline. The verify step broadcasts
-    only the candidate docs' texts (small side); the scale path for
-    huge candidate sets is a join back to the docs table — documented
-    in SURVEY.md §2.7 D4."""
-    import ray
+                      threshold: float = 0.7, num_partitions: int = 8):
+    """Full MinHash-LSH near-dup pipeline, fully distributed (SURVEY.md
+    §2.7 D4 scale path): candidate pairs stay a Dataset and are hash-
+    joined back to the docs table twice (doc_a then doc_b) to attach
+    texts; exact shingle-Jaccard runs vectorized inside map_batches.
+    Nothing is materialized on the driver — candidate volume and doc
+    count are both unbounded."""
+    cand = lsh_candidate_pairs(docs_ds, text_col) \
+        .select_columns(["doc_a", "doc_b"])
+    docs = docs_ds.select_columns(["doc_id", text_col])
+    side_a = docs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "text_a"]),
+        batch_format="pyarrow")
+    side_b = docs.map_batches(
+        lambda t: t.rename_columns(["doc_b", "text_b"]),
+        batch_format="pyarrow")
+    j = cand.join(side_a, join_type="inner",
+                  num_partitions=num_partitions, on=("doc_a",))
+    j = j.join(side_b, join_type="inner",
+               num_partitions=num_partitions, on=("doc_b",))
 
-    cand = lsh_candidate_pairs(docs_ds, text_col).to_pandas()
-    if cand.empty:
-        import ray.data as rd
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out = pairwise_jaccard_batch(df, k)
+        return out[out["jaccard"] >= threshold]
 
-        return rd.from_pandas(pd.DataFrame(
-            {"doc_a": pd.Series([], dtype=object),
-             "doc_b": pd.Series([], dtype=object),
-             "jaccard": pd.Series([], dtype=float)}))
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    texts = {}
-    for b in docs_ds.iter_batches(batch_format="pyarrow"):
-        ids = b.column("doc_id").to_pylist()
-        ts = b.column(text_col).to_pylist()
-        for i, t in zip(ids, ts):
-            if i in need:
-                texts[i] = t
-    verified = verify_jaccard(cand[["doc_a", "doc_b"]], texts, k, threshold)
-    import ray.data as rd
-
-    return rd.from_pandas(verified) if len(verified) else rd.from_pandas(
-        pd.DataFrame({"doc_a": pd.Series([], dtype=object),
-                      "doc_b": pd.Series([], dtype=object),
-                      "jaccard": pd.Series([], dtype=float)}))
+    return j.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- simhash

@@ -73,22 +73,24 @@ def ann_topk(embeddings_ds, query_vecs: np.ndarray, k: int = 10,
             # local top-(k + |excluded|) so dropping excluded ids can
             # never evict a vector that belongs in the global top-k
             kk = min(k + len(self.excl), n)
-            out_id, out_q, out_s = [], [], []
-            for qi in range(nq):
-                s = sims[:, qi]
-                idx = np.argpartition(-s, kk - 1)[:kk] if kk < n \
-                    else np.arange(n)
-                for i in idx:
-                    if ids[i] in self.excl:
-                        continue
-                    out_id.append(ids[i])
-                    out_q.append(qi)
-                    out_s.append(s[i])
+            if kk < n:
+                idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            else:
+                idx = np.tile(np.arange(n)[:, None], (1, nq))
+            rows = idx.T.reshape(-1)
+            qidx = np.repeat(np.arange(nq, dtype=np.int32), idx.shape[0])
+            sel_ids = ids[rows]
+            sel_sims = sims[rows, qidx]
+            if self.excl:
+                keep = ~np.isin(sel_ids,
+                                np.fromiter(self.excl, dtype=ids.dtype,
+                                            count=len(self.excl)))
+                sel_ids, qidx, sel_sims = \
+                    sel_ids[keep], qidx[keep], sel_sims[keep]
             return pa.table({
-                id_col: pa.array(out_id, pa.int64()),
-                "query_idx": pa.array(out_q, pa.int32()),
-                "sim": pa.array(np.round(np.array(out_s, dtype=np.float64), 6),
-                                pa.float64()),
+                id_col: pa.array(sel_ids, pa.int64()),
+                "query_idx": pa.array(qidx, pa.int32()),
+                "sim": pa.array(np.round(sel_sims, 6), pa.float64()),
             })
 
     local = embeddings_ds.map_batches(_Score, batch_format="pyarrow",
@@ -103,12 +105,34 @@ def ann_topk(embeddings_ds, query_vecs: np.ndarray, k: int = 10,
                                                  batch_format="pandas")
 
 
+MAX_EXACT_ROWS = 200_000  # n*d floats broadcast; above this go bucketed
+
+
 def cosine_dup_pairs(embeddings_ds, threshold: float = 0.99,
-                     id_col: str = "vec_id", emb_col: str = "embedding"):
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     max_exact_rows: int = MAX_EXACT_ROWS,
+                     force_lsh: bool = False):
+    """All-pairs cosine >= threshold with a size dispatch (same shape
+    as canon.canonicalize): small tables use the exact broadcast-matrix
+    path; above ``max_exact_rows`` (or with force_lsh) the banded-LSH
+    bucketed path runs — fully distributed, approximate (recall is a
+    function of threshold and band geometry; measured >= 0.95 at
+    threshold 0.9 in tests)."""
+    ds = embeddings_ds.materialize()  # count + consume = one execution
+    if force_lsh or ds.count() > max_exact_rows:
+        return cosine_dup_pairs_lsh(ds, threshold, id_col=id_col,
+                                    emb_col=emb_col)
+    return cosine_dup_pairs_exact(ds, threshold, id_col=id_col,
+                                  emb_col=emb_col)
+
+
+def cosine_dup_pairs_exact(embeddings_ds, threshold: float = 0.99,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding"):
     """Exact all-pairs cosine >= threshold. The FULL normalized matrix
     is broadcast once (valid while n*d fits a worker heap — the
-    documented small-side assumption); each batch matmuls its rows
-    against it. Emits (vec_a < vec_b, sim)."""
+    documented small-side assumption enforced by the dispatcher);
+    each batch matmuls its rows against it. Emits (vec_a < vec_b, sim)."""
     import ray
 
     all_ids = []
@@ -145,6 +169,82 @@ def cosine_dup_pairs(embeddings_ds, threshold: float = 0.99,
 
     return embeddings_ds.map_batches(_Pairs, batch_format="pyarrow",
                                      concurrency=(1, 4), num_cpus=1)
+
+
+DUP_BANDS = 16          # band tables
+DUP_PLANES_PER_BAND = 8  # hyperplanes per band -> 256 keys/band
+
+
+def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
+                         id_col: str = "vec_id",
+                         emb_col: str = "embedding", seed: int = 42,
+                         n_bands: int = DUP_BANDS,
+                         planes_per_band: int = DUP_PLANES_PER_BAND):
+    """Bucketed near-dup pairs: random-hyperplane banding (the SimHash
+    pair pattern from neardup.py applied to real vectors).
+
+    Each vector lands in ``n_bands`` buckets keyed by the sign pattern
+    of ``planes_per_band`` hyperplanes; candidate verification is an
+    exact within-bucket matmul inside ``map_groups``; pairs found in
+    several bands dedupe through a final groupby-Max. Only
+    (band, key, id, vector) rows shuffle — never an all-pairs matrix.
+
+    Recall for a pair at cosine s is 1-(1-p^r)^B with
+    p = 1 - arccos(s)/pi; with the default 16x8 geometry that is
+    ~0.996 at s=0.99, ~0.91 at s=0.9 — a high-threshold tool by
+    design (use more bands for lower thresholds)."""
+    from ray.data.aggregate import Max
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"band_id": pa.array([], pa.int32()),
+                             "band_key": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             emb_col: batch.column(emb_col)})
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        rng = np.random.default_rng(seed)  # deterministic per batch
+        planes = rng.standard_normal((n_bands * planes_per_band,
+                                      m.shape[1]))
+        signs = (m @ planes.T) > 0  # (n, n_bands*r)
+        keys = np.zeros((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            seg = signs[:, b * planes_per_band:(b + 1) * planes_per_band]
+            for c in range(planes_per_band):
+                keys[:, b] |= seg[:, c].astype(np.int64) << c
+        tiled = np.tile(np.arange(n), n_bands)
+        rep = batch.select([id_col, emb_col]).take(pa.array(tiled))
+        return rep.add_column(
+            0, "band_id",
+            pa.array(np.repeat(np.arange(n_bands, dtype=np.int32), n))
+        ).add_column(
+            1, "band_key", pa.array(keys.T.reshape(-1)))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        m = _normalize(_to_matrix(g.column(emb_col)))
+        sims = m @ m.T
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = sims[i, j] >= threshold
+        i, j = i[keep], j[keep]
+        a, b = ids[i].copy(), ids[j].copy()
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        return pa.table({
+            "vec_a": pa.array(a, pa.int64()),
+            "vec_b": pa.array(b, pa.int64()),
+            "sim": pa.array(np.round(sims[i, j], 6), pa.float64()),
+        })
+
+    banded = embeddings_ds.map_batches(band_rows, batch_format="pyarrow")
+    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("sim", alias_name="sim"))
 
 
 # ------------------------------------------------ LSH-bucketed variant
