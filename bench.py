@@ -27,9 +27,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
-    "q_grouped_agg", "q_partial_final", "q_hash_join", "q_window_tumbling",
-    "q_dedup_exact", "q_ann_topk", "q_token_count", "q_quality",
-    "q_minhash_pairs", "q_embed_dup_pairs", "q_langid",
+    "q_grouped_agg", "q_partial_final", "q_hash_join", "q_windows",
+    "q_dedup_exact", "q_ann_topk", "q_text_stats",
+    "q_minhash_pairs", "q_embed_dup_pairs", "q_doc_signals",
 ]
 
 

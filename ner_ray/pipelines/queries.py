@@ -249,37 +249,36 @@ def q_union(sf_dir: str):
     return n.union(r)
 
 
-@q("q_intersect", sql="""
-SELECT DISTINCT c_nationkey AS nationkey FROM customer
-INTERSECT
-SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+@q("q_intersect_except", sql="""
+SELECT 'intersect' AS op, nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS op, nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
 """)
-def q_intersect(sf_dir: str):
+def q_intersect_except(sf_dir: str):
+    """D2 both halves in one graded entry (broadcast key-set semi +
+    anti join, same inputs) — merged so both fit the driver's 50-row
+    correctness budget; the op column marks each half."""
     from ner_ray.functions.joins import semi_join
 
     c = _rp(sf_dir, "customer", ["c_nationkey"])
     s = _rp(sf_dir, "supplier", ["s_nationkey"])
     skeys = s.unique("s_nationkey")
-    out = semi_join(c, skeys, on="c_nationkey")
-    vals = sorted(out.unique("c_nationkey") or [])
-    return pa.table({"nationkey": pa.array(vals, pa.int32())})
-
-
-@q("q_except", sql="""
-SELECT DISTINCT c_nationkey AS nationkey FROM customer
-EXCEPT
-SELECT DISTINCT s_nationkey AS nationkey FROM supplier
-""")
-def q_except(sf_dir: str):
-    from ner_ray.functions.joins import semi_join
-
-    c = _rp(sf_dir, "customer", ["c_nationkey"])
-    s = _rp(sf_dir, "supplier", ["s_nationkey"])
-    skeys = s.unique("s_nationkey")
-    out = semi_join(c, skeys, on="c_nationkey", anti=True)
+    inter = sorted(
+        semi_join(c, skeys, on="c_nationkey").unique("c_nationkey") or [])
     # unique() returns None on an empty dataset — EXCEPT can be empty
-    vals = sorted(out.unique("c_nationkey") or [])
-    return pa.table({"nationkey": pa.array(vals, pa.int32())})
+    exc = sorted(semi_join(c, skeys, on="c_nationkey", anti=True)
+                 .unique("c_nationkey") or [])
+    return pa.table({
+        "op": pa.array(["intersect"] * len(inter) + ["except"] * len(exc),
+                       pa.string()),
+        "nationkey": pa.array(list(inter) + list(exc), pa.int32()),
+    })
 
 
 @q("q_hash_join", sql="""
@@ -365,26 +364,13 @@ def q_asof_join(sf_dir: str):
     return asof_join_global(e, "ts", dates, "o_orderdate")
 
 
-@q("q_window_tumbling", sql="""
-SELECT user_id, date_trunc('day', ts) AS bucket,
+@q("q_windows", sql="""
+SELECT 'tumbling' AS kind, user_id, date_trunc('day', ts) AS bucket,
        round(sum(value), 4) AS sum_value, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY user_id, date_trunc('day', ts)
-""")
-def q_window_tumbling(sf_dir: str):
-    from ner_ray.functions.windows import tumbling_window_agg
-
-    e = _rp(sf_dir, "events", ["user_id", "ts", "value"])
-    out = tumbling_window_agg(e, "user_id", "ts", "value", unit="day")
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("sum_value"),
-                               "sum_value",
-                               pc.round(t.column("sum_value"), 4)),
-        batch_format="pyarrow")
-
-
-@q("q_window_sliding", sql="""
-SELECT user_id, bucket, round(sum(value), 4) AS sum_value,
-       CAST(count(*) AS BIGINT) AS n
+UNION ALL
+SELECT 'sliding' AS kind, user_id, bucket,
+       round(sum(value), 4) AS sum_value, CAST(count(*) AS BIGINT) AS n
 FROM (
   SELECT user_id, date_trunc('day', ts) AS bucket, value FROM events
   UNION ALL
@@ -392,18 +378,29 @@ FROM (
   FROM events
 ) GROUP BY user_id, bucket
 """)
-def q_window_sliding(sf_dir: str):
-    """2-day sliding window, 1-day step (each event lands in 2
-    windows; window key = start day)."""
-    from ner_ray.functions.windows import sliding_window_agg
+def q_windows(sf_dir: str):
+    """Tumbling (1-day) + sliding (2-day window, 1-day step — each
+    event lands in 2 windows, key = start day) aggregates in one graded
+    entry, marked by the kind column (merged for the driver's 50-row
+    correctness budget)."""
+    from ner_ray.functions.windows import sliding_window_agg, \
+        tumbling_window_agg
+
+    def finish(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.set_column(t.schema.get_field_index("sum_value"),
+                             "sum_value", pc.round(t.column("sum_value"), 4))
+            return t.add_column(
+                0, "kind", pa.array([kind] * len(t), pa.string()))
+
+        return fn
 
     e = _rp(sf_dir, "events", ["user_id", "ts", "value"])
-    out = sliding_window_agg(e, "user_id", "ts", "value", width=2)
-    return out.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("sum_value"),
-                               "sum_value",
-                               pc.round(t.column("sum_value"), 4)),
-        batch_format="pyarrow")
+    tum = tumbling_window_agg(e, "user_id", "ts", "value", unit="day") \
+        .map_batches(finish("tumbling"), batch_format="pyarrow")
+    sli = sliding_window_agg(e, "user_id", "ts", "value", width=2) \
+        .map_batches(finish("sliding"), batch_format="pyarrow")
+    return tum.union(sli)
 
 
 @q("q_sessions", sql="""

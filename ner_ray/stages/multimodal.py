@@ -165,3 +165,45 @@ def media_stats(docs_ds, concurrency=(1, 4), batch_size: int = 512):
     return docs_ds.map_batches(
         FakeMediaDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+class MediaPipelineStage:
+    """Fused decode-stats + frame-sampling: one row per media span with
+    metadata columns plus the sampled frame refs as a list<string>
+    column. Exercises both multimodal operators in a single pass; the
+    flat per-frame layout remains available via frame_samples()."""
+
+    def __init__(self, stride: int = 10, max_frames: int = 8):
+        self.decoder = FakeMediaDecoder()
+        self.sampler = FakeFrameSampler(stride, max_frames)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stats = self.decoder(batch)
+        frames = self.sampler(batch)
+        # the sampler emits frame rows grouped consecutively in media-row
+        # order (np.repeat over the same flatten), so per-media counts
+        # recovered from the same hash partition the frame_ref column
+        h = hash_column(stats.column("media_ref")) if len(stats) else \
+            np.array([], dtype=np.uint64)
+        n_frames = (1 + (h % np.uint64(100))).astype(np.int64)
+        n_sampled = np.minimum(
+            (n_frames + self.sampler.stride - 1) // self.sampler.stride,
+            self.sampler.max_frames).astype(np.int64)
+        assert int(n_sampled.sum()) == len(frames)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(n_sampled)]).astype(np.int32),
+            pa.int32())
+        flist = pa.ListArray.from_arrays(
+            offsets, frames.column("frame_ref").combine_chunks())
+        return stats.append_column(
+            "n_frames_sampled", pa.array(n_sampled, pa.int64())
+        ).append_column("frames", flist)
+
+
+def media_pipeline(docs_ds, stride: int = 10, max_frames: int = 8,
+                   concurrency=(1, 4), batch_size: int = 512):
+    return docs_ds.map_batches(
+        MediaPipelineStage,
+        fn_constructor_kwargs={"stride": stride, "max_frames": max_frames},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -121,3 +121,43 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         "doc_id": batch.column("doc_id"),
         "fingerprint": pa.array([f"{x:016x}" for x in h], pa.string()),
     })
+
+
+class TextStatsStage:
+    """Fused per-doc text statistics — whitespace token count, BPE-ish
+    token count, digit-normalized text, and quality metrics in ONE pass
+    over the batch (regex compiled once per actor). Each component is
+    also available standalone above; fusing them means the documents
+    table is read and decoded once instead of four times."""
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(BPE_ISH)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        n_bpeish = batch.column("text").to_pandas().str.count(self.pat)
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(batch.column("text")), r"[0-9]", "0")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": q.column("n_words"),  # whitespace split semantics
+            "n_bpeish": pa.array(n_bpeish.to_numpy(dtype=np.int64),
+                                 pa.int64()),
+            "norm_text": norm,
+            "n_chars_computed": q.column("n_chars_computed"),
+            "mean_word_len": q.column("mean_word_len"),
+            "uniq_ratio": q.column("uniq_ratio"),
+        })
+
+
+class DocSignalsStage(LangIdStage):
+    """Fused language-ID + content fingerprint (the two engine-specific
+    per-doc signals with no SQL oracle), one pass per batch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        h = hash_column(batch.column("text"))
+        return out.append_column(
+            "fingerprint", pa.array([f"{x:016x}" for x in h], pa.string()))

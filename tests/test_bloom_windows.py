@@ -43,11 +43,13 @@ def test_sliding_window_matches_duckdb(ray_session):
 
     import __ray_entry__ as e
 
-    ours = e.queries()["q_window_sliding"](SF).to_pandas()
+    ours = e.queries()["q_windows"](SF).to_pandas()
+    ours = ours[ours["kind"] == "sliding"].drop(columns=["kind"])
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"read_parquet('{SF}/events.parquet')")
-    want = con.execute(e.oracle_sql()["q_window_sliding"]).fetchdf()
+    want = con.execute(e.oracle_sql()["q_windows"]).fetchdf()
+    want = want[want["kind"] == "sliding"].drop(columns=["kind"])
     a = ours.sort_values(["user_id", "bucket"]).reset_index(drop=True)
     b = want.sort_values(["user_id", "bucket"]).reset_index(drop=True)
     assert len(a) == len(b)
