@@ -24,7 +24,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ner_ray.constants import (
-    FEATURE_FAMILIES,
     LABELS,
     MAX_ALIAS_TOKENS,
     N_LABELS,
@@ -74,17 +73,25 @@ class FeatureCache:
     """Per-actor memo of unique-token feature rows, persisted ACROSS
     batches — the payoff of the actor-pool design: after warmup, a
     batch's per-token string kernels reduce to factorize + gathers
-    (token vocabularies are heavy-tailed; hit rates approach 100%)."""
+    (token vocabularies are heavy-tailed; hit rates approach 100%).
+
+    ``cross`` holds one id column per CROSS-TOKEN family (families the
+    pattern set scores at non-zero offsets — just 'low' for the
+    default pattern file)."""
 
     _INIT_CAP = 4096
 
-    def __init__(self, b: ModelBundle):
+    def __init__(self, b: ModelBundle, pats=None):
         self.b = b
+        self.pats = pats
         self.map: dict[str, int] = {}
         self.size = 0
         cap = self._INIT_CAP
         self.static = np.zeros((cap, N_LABELS))
-        self.ids_low = np.zeros(cap, dtype=np.int64)
+        self.cross: dict[str, np.ndarray] = {
+            fam: np.zeros(cap, dtype=np.int64)
+            for fam in _cross_families(pats.families if pats is not None
+                                       else b.families)}
         self.norm = np.empty(cap, dtype=object)
         self.tok_len = np.zeros(cap, dtype=np.int64)
         self.is_first = np.zeros(cap, dtype=bool)
@@ -92,15 +99,15 @@ class FeatureCache:
                              for m in b.alias_by_len.values() for a in m}
 
     def _ensure_capacity(self, need: int) -> None:
-        cap = len(self.ids_low)
+        cap = len(self.tok_len)
         if need <= cap:
             return
         new_cap = max(need, cap * 2)  # geometric growth: amortized O(1)
         grow = new_cap - cap
         self.static = np.vstack([self.static,
                                  np.zeros((grow, N_LABELS))])
-        self.ids_low = np.concatenate([self.ids_low,
-                                       np.zeros(grow, dtype=np.int64)])
+        self.cross = {fam: np.concatenate([v, np.zeros(grow, dtype=np.int64)])
+                      for fam, v in self.cross.items()}
         self.norm = np.concatenate([self.norm,
                                     np.empty(grow, dtype=object)])
         self.tok_len = np.concatenate([self.tok_len,
@@ -112,14 +119,15 @@ class FeatureCache:
         new = [u for u in uniques if u not in self.map]
         if new:
             s = pd.Series(new, dtype=object)
-            static, ids_low, u_norm = _unique_features(s, self.b)
+            static, cross, u_norm = _unique_features(s, self.b, self.pats)
             base = self.size
             self._ensure_capacity(base + len(new))
             for i, u in enumerate(new):
                 self.map[u] = base + i
             end = base + len(new)
             self.static[base:end] = static
-            self.ids_low[base:end] = ids_low
+            for fam, ids in cross.items():
+                self.cross[fam][base:end] = ids
             self.norm[base:end] = u_norm
             self.tok_len[base:end] = s.str.len().to_numpy(dtype=np.int64)
             self.is_first[base:end] = np.fromiter(
@@ -129,21 +137,35 @@ class FeatureCache:
         return np.fromiter((self.map[u] for u in uniques), dtype=np.int64,
                            count=len(uniques))
 
+    def cross_at(self, cidx: np.ndarray) -> dict[str, np.ndarray]:
+        return {fam: v[cidx] for fam, v in self.cross.items()}
+
 
 class TaggerActor:
     """Callable class => Ray actor pool; model loaded once per actor,
-    unique-token feature rows cached across batches."""
+    unique-token feature rows cached across batches.
 
-    def __init__(self, bundle):
+    ``patterns`` (optional) is a Wapiti-style pattern file TEXT or a
+    parsed PatternSet (functions/patterns.py); None scores the
+    bundle's compiled family layout — identical to the default pattern
+    file (round-trip asserted in tests/test_patterns.py)."""
+
+    def __init__(self, bundle, patterns=None):
         self.b = _get(bundle)
+        if isinstance(patterns, str):
+            from ner_ray.functions.patterns import parse_pattern_file
+
+            patterns = parse_pattern_file(patterns)
+        self.pats = patterns
         # gaz flag index (0..8) -> row in the gaz weight matrix
         gid = self.b.value_ids["gaz"]
         self._gaz_row = np.array([gid.get(v, 0) for v in GAZ_VALUES])
-        self._cache = FeatureCache(self.b)
+        self._cache = FeatureCache(self.b, self.pats)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mentions = tag_spans(batch.column("text"), self.b,
-                             self._gaz_row, cache=self._cache)
+                             self._gaz_row, cache=self._cache,
+                             pats=self.pats)
         return batch.append_column("mentions", mentions)
 
 
@@ -154,7 +176,7 @@ class PosteriorActor(TaggerActor):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         prep = _prepare(batch.column("text"), self.b, self._gaz_row,
-                        cache=self._cache)
+                        cache=self._cache, pats=self.pats)
         if prep is None:
             return pa.table({
                 "doc_id": pa.array([], pa.string()),
@@ -185,7 +207,7 @@ class PosteriorActor(TaggerActor):
 
 
 def _prepare(texts, b: ModelBundle, gaz_row: np.ndarray,
-             cache: "FeatureCache | None" = None):
+             cache: "FeatureCache | None" = None, pats=None):
     """Shared tokenize->features->emissions prep for decode/posterior."""
     nrows, lens, codes, uniques = _tokenize_arrow(texts)
     N = len(codes)
@@ -197,20 +219,20 @@ def _prepare(texts, b: ModelBundle, gaz_row: np.ndarray,
     if cache is not None:
         cidx = cache.lookup(uniques)
         static_u = cache.static[cidx]
-        ids_low_u = cache.ids_low[cidx]
+        cross_u = cache.cross_at(cidx)
         u_norm = cache.norm[cidx]
         u_first = cache.is_first[cidx]
     else:
         uniq = pd.Series(uniques, dtype=object)
-        static_u, ids_low_u, u_norm = _unique_features(uniq, b)
+        static_u, cross_u, u_norm = _unique_features(uniq, b, pats)
         first_tokens = {a.split(" ", 1)[0] for m in b.alias_by_len.values()
                         for a in m}
         u_first = np.fromiter((x in first_tokens for x in u_norm),
                               dtype=bool, count=len(u_norm))
     gaz_flags = _gazetteer(u_norm, codes, u_first[codes], seq_id,
                            b.alias_by_len)
-    E = _emissions(codes, static_u, ids_low_u, seq_id, gaz_flags, b,
-                   gaz_row)
+    E = _emissions(codes, static_u, cross_u, seq_id, gaz_flags, b,
+                   gaz_row, pats)
     return E, seq_id, pos, lens, uniques[codes]
 
 
@@ -266,42 +288,87 @@ def _gazetteer(u_norm: np.ndarray, codes: np.ndarray,
     return flags
 
 
-def _unique_features(uniq: pd.Series, b: ModelBundle):
+def _cross_families(fams: dict) -> list[str]:
+    """Families the pattern set scores at non-zero offsets (these need
+    per-unique id columns for the shifted gathers in _emissions)."""
+    return [f for f, offs in fams.items()
+            if f != "gaz" and any(o != 0 for o in offs)]
+
+
+def _family_values(fam: str, uniq: pd.Series, u_norm: pd.Series,
+                   pats) -> pd.Series:
+    """Observation value per unique token for one feature family —
+    the engine's derived pattern columns, plus %t regex-test families
+    from a custom pattern file (value '1'/'0')."""
+    if fam == "low":
+        return u_norm
+    if fam == "shape":
+        return shape_series(uniq)
+    if fam.startswith("pre") and fam[3:].isdigit():
+        return u_norm.str[: int(fam[3:])]
+    if fam.startswith("suf") and fam[3:].isdigit():
+        return u_norm.str[-int(fam[3:]):]
+    if pats is not None:
+        for t in pats.tests:
+            if t.template_id == fam:
+                import re
+
+                col = u_norm if t.column == "low" else \
+                    _family_values(t.column, uniq, u_norm, None)
+                pat = re.compile(t.regex)
+                return col.str.contains(pat).map({True: "1", False: "0"})
+    raise KeyError(f"unknown feature family {fam!r}")
+
+
+def _unique_features(uniq: pd.Series, b: ModelBundle, pats=None):
     """Per UNIQUE surface form: (static emission row (U, N_LABELS),
-    low-family id, normalized string). The static part sums every
-    position-local family (shape, prefixes, suffixes, low@offset 0) in
-    unique space — a batch has few thousand distinct tokens, so the
-    expensive string kernels never touch the full token stream."""
+    cross-token id columns, normalized string), driven by the pattern
+    set (default: the bundle's compiled family layout == the frozen
+    FEATURE_FAMILIES, i.e. the default pattern file). The static part
+    sums every offset-0 family contribution in unique space — a batch
+    has few thousand distinct tokens, so the expensive string kernels
+    never touch the full token stream."""
+    fams = pats.families if pats is not None else b.families
     u_norm = normalize_series(uniq)
-    center = FEATURE_FAMILIES["low"].index(0)
-    static = b.weights["shape"][
-        map_to_ids(shape_series(uniq), b.value_ids["shape"]), 0].copy()
-    for k in (1, 2, 3):
-        static += b.weights[f"pre{k}"][
-            map_to_ids(u_norm.str[:k], b.value_ids[f"pre{k}"]), 0]
-        static += b.weights[f"suf{k}"][
-            map_to_ids(u_norm.str[-k:], b.value_ids[f"suf{k}"]), 0]
-    ids_low_u = map_to_ids(u_norm, b.value_ids["low"])
-    static += b.weights["low"][ids_low_u, center]
-    return static, ids_low_u, u_norm.to_numpy(dtype=object)
+    static = np.zeros((len(uniq), N_LABELS))
+    cross: dict[str, np.ndarray] = {}
+    for fam, offs in fams.items():
+        if fam == "gaz":
+            continue  # structural: longest-match flags, added in _emissions
+        if fam not in b.value_ids:
+            continue  # family absent from the model: every value is OOV
+        ids = map_to_ids(_family_values(fam, uniq, u_norm, pats),
+                         b.value_ids[fam])
+        model_offs = b.families.get(fam, offs)
+        if 0 in offs and 0 in model_offs:
+            static += b.weights[fam][ids, model_offs.index(0)]
+        if any(o != 0 for o in offs):
+            cross[fam] = ids
+    return static, cross, u_norm.to_numpy(dtype=object)
 
 
 def _emissions(codes: np.ndarray, static_u: np.ndarray,
-               ids_low_u: np.ndarray, seq_id: np.ndarray,
+               cross_u: dict, seq_id: np.ndarray,
                gaz_flags: np.ndarray, b: ModelBundle,
-               gaz_row: np.ndarray) -> np.ndarray:
-    """(N, N_LABELS) emissions: one static gather + the four
-    cross-token low-offset gathers + the gaz gather."""
+               gaz_row: np.ndarray, pats=None) -> np.ndarray:
+    """(N, N_LABELS) emissions: one static gather + one shifted gather
+    per (cross-family, non-zero offset) — four low-offset gathers under
+    the default pattern file — + the gaz gather."""
+    fams = pats.families if pats is not None else b.families
     E = static_u[codes]
-    Wlow = b.weights["low"]
-    ids_low = ids_low_u[codes]
-    for oi, off in enumerate(FEATURE_FAMILIES["low"]):
-        if off == 0:
-            continue  # folded into the static row
-        # feature "low:off:value" fires at position t when the token at
-        # t+off has that value => gather ids shifted by +off
-        E += Wlow[shifted_within_seq(ids_low, seq_id, off), oi]
-    E += b.weights["gaz"][gaz_row[gaz_flags], 0]
+    for fam, ids_u in cross_u.items():
+        W = b.weights[fam]
+        model_offs = b.families.get(fam, ())
+        ids_flat = ids_u[codes]
+        for off in fams[fam]:
+            if off == 0 or off not in model_offs:
+                continue
+            # feature "fam:off:value" fires at position t when the token
+            # at t+off has that value => gather ids shifted by +off
+            E += W[shifted_within_seq(ids_flat, seq_id, off),
+                   model_offs.index(off)]
+    if "gaz" in fams and "gaz" in b.weights:
+        E += b.weights["gaz"][gaz_row[gaz_flags], 0]
     return E
 
 
@@ -418,7 +485,8 @@ def _tokenize_arrow(texts) -> tuple:
 
 
 def tag_spans(texts, b: ModelBundle, gaz_row: np.ndarray,
-              cache: "FeatureCache | None" = None) -> pa.ListArray:
+              cache: "FeatureCache | None" = None,
+              pats=None) -> pa.ListArray:
     """texts (one per span row) -> list<MENTION_STRUCT> per row."""
     nrows, lens, codes, uniques = _tokenize_arrow(texts)
     N = len(codes)
@@ -436,13 +504,13 @@ def tag_spans(texts, b: ModelBundle, gaz_row: np.ndarray,
         # actor-persistent memo: string kernels only touch NEW tokens
         cidx = cache.lookup(uniques)
         static_u = cache.static[cidx]
-        ids_low_u = cache.ids_low[cidx]
+        cross_u = cache.cross_at(cidx)
         u_norm = cache.norm[cidx]
         u_len = cache.tok_len[cidx]
         u_first = cache.is_first[cidx]
     else:
         uniq = pd.Series(uniques, dtype=object)
-        static_u, ids_low_u, u_norm = _unique_features(uniq, b)
+        static_u, cross_u, u_norm = _unique_features(uniq, b, pats)
         u_len = uniq.str.len().to_numpy(dtype=np.int64)
         first_tokens = {a.split(" ", 1)[0] for m in b.alias_by_len.values()
                         for a in m}
@@ -457,8 +525,8 @@ def tag_spans(texts, b: ModelBundle, gaz_row: np.ndarray,
 
     gaz_flags = _gazetteer(u_norm, codes, u_first[codes], seq_id,
                            b.alias_by_len)
-    E = _emissions(codes, static_u, ids_low_u, seq_id, gaz_flags, b,
-                   gaz_row)
+    E = _emissions(codes, static_u, cross_u, seq_id, gaz_flags, b,
+                   gaz_row, pats)
     # only sequences with tokens enter the trellis
     tags_flat = _viterbi_batch(E, seq_id, pos, lens, b.trans, b.start)
 

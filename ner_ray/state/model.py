@@ -45,6 +45,11 @@ class ModelBundle:
 
     weights: dict[str, np.ndarray]
     value_ids: dict[str, dict[str, int]]
+    # feature-family layout this bundle was compiled with: family ->
+    # ordered offset tuple (the offset AXIS of each weight matrix).
+    # Defaults to the frozen constants.FEATURE_FAMILIES; a custom
+    # pattern file (functions/patterns.py) supplies its own.
+    families: dict[str, tuple[int, ...]]
     trans: np.ndarray        # (N_LABELS, N_LABELS)
     start: np.ndarray        # (N_LABELS,)
     # gazetteer: per n-gram length L -> dict "tok tok.." -> ne_type
@@ -56,22 +61,29 @@ class ModelBundle:
     alias_types: dict[str, str]
 
     @classmethod
-    def load(cls, model_path: str, alias_path: str) -> "ModelBundle":
+    def load(cls, model_path: str, alias_path: str,
+             families: "dict[str, tuple[int, ...]] | None" = None
+             ) -> "ModelBundle":
         mt = pq.read_table(model_path)
-        feats = mt.column("feature").to_pylist()
-        labels = mt.column("label").to_pylist()
-        ws = mt.column("weight").to_pylist()
+        return cls.from_rows(
+            mt.column("feature").to_pylist(),
+            mt.column("label").to_pylist(),
+            mt.column("weight").to_pylist(),
+            alias_path, families)
 
+    @classmethod
+    def from_rows(cls, feats, labels, ws, alias_path: str,
+                  families: "dict[str, tuple[int, ...]] | None" = None
+                  ) -> "ModelBundle":
+        fams: dict[str, tuple[int, ...]] = dict(families or FEATURE_FAMILIES)
         trans = np.zeros((N_LABELS, N_LABELS))
         start = np.zeros(N_LABELS)
-        # first pass: collect per-family value -> offset -> label weights
-        sparse: dict[str, dict[str, dict[tuple[int, int], float]]] = {
-            fam: {} for fam in FEATURE_FAMILIES
-        }
-        offset_pos = {
-            fam: {off: i for i, off in enumerate(offs)}
-            for fam, offs in FEATURE_FAMILIES.items()
-        }
+        # first pass: collect per-family value -> offset -> label weights;
+        # families present in the file but absent from the layout are
+        # added with their observed offsets (sorted) so custom-trained
+        # models (e.g. pattern-file regex tests) load without a schema
+        parsed: list[tuple[str, int, str, int, float]] = []
+        extra_offs: dict[str, set[int]] = {}
         for f, l, w in zip(feats, labels, ws):
             li = LABEL_INDEX[l]
             if f == START_FEATURE:
@@ -81,12 +93,26 @@ class ModelBundle:
                 trans[LABEL_INDEX[f[len(TRANS_PREFIX):]], li] = w
                 continue
             fam, off_s, value = f.split(":", 2)
+            off = int(off_s)
+            parsed.append((fam, off, value, li, w))
+            if fam not in fams:
+                extra_offs.setdefault(fam, set()).add(off)
+        for fam, offs in extra_offs.items():
+            fams[fam] = tuple(sorted(offs))
+        offset_pos = {
+            fam: {off: i for i, off in enumerate(offs)}
+            for fam, offs in fams.items()
+        }
+        sparse: dict[str, dict[str, dict[tuple[int, int], float]]] = {
+            fam: {} for fam in fams
+        }
+        for fam, off, value, li, w in parsed:
             cell = sparse[fam].setdefault(value, {})
-            cell[(offset_pos[fam][int(off_s)], li)] = w
+            cell[(offset_pos[fam][off], li)] = w
 
         weights: dict[str, np.ndarray] = {}
         value_ids: dict[str, dict[str, int]] = {}
-        for fam, offs in FEATURE_FAMILIES.items():
+        for fam, offs in fams.items():
             vals = sorted(sparse[fam])
             ids = {v: i + 1 for i, v in enumerate(vals)}
             W = np.zeros((len(vals) + 1, len(offs), N_LABELS))
@@ -128,13 +154,13 @@ class ModelBundle:
             best = min(lst, key=lambda ept: (-ept[1], ept[0]))
             best_link[a] = (best[0], best[1])
 
-        return cls(weights, value_ids, trans, start, alias_by_len,
+        return cls(weights, value_ids, fams, trans, start, alias_by_len,
                    candidates, best_link, alias_types)
 
 
-def put_bundle(model_path: str, alias_path: str):
+def put_bundle(model_path: str, alias_path: str, families=None):
     """Load + broadcast: returns an ObjectRef to pass to actor
     constructors via fn_constructor_kwargs (zero-copy to all workers)."""
     import ray
 
-    return ray.put(ModelBundle.load(model_path, alias_path))
+    return ray.put(ModelBundle.load(model_path, alias_path, families))

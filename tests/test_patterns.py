@@ -1,0 +1,131 @@
+"""Pattern-file DSL tests (SURVEY.md §2.2 M4 extension surface):
+
+* parse/render round-trip;
+* the DEFAULT pattern file reproduces the built-in feature families
+  exactly — tagging the tiny fixture through an explicit pattern file
+  yields byte-identical mentions (and therefore P=R=1.0 vs goldens);
+* numeric column indices and %t regex tests parse;
+* a pattern file restricted to a subset of families changes scoring
+  (sanity that the pattern set actually drives the emissions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ner_ray.constants import FEATURE_FAMILIES
+from ner_ray.functions.patterns import (
+    PatternSet,
+    default_pattern_set,
+    default_pattern_text,
+    parse_pattern_file,
+)
+
+
+def test_default_roundtrip_matches_feature_families():
+    ps = default_pattern_set()
+    assert ps.families == {f: tuple(sorted(o))
+                           for f, o in FEATURE_FAMILIES.items()}
+    assert ps.has_bigram
+    # render -> parse -> render is a fixpoint
+    again = parse_pattern_file(ps.render())
+    assert again.families == ps.families
+    assert again.render() == ps.render()
+
+
+def test_numeric_columns_and_comments():
+    ps = parse_pattern_file("""
+# unigram identity window, numeric column style (col 0 == low)
+U00:%x[-1,0]
+U01:%x[0,0]
+U02:%x[1,0]
+USh:%x[0,1]   # shape by index
+B
+""")
+    assert ps.families == {"low": (-1, 0, 1), "shape": (0,)}
+    assert ps.has_bigram
+
+
+def test_regex_test_template_parses():
+    ps = parse_pattern_file('Ut0:%t[0,low,"^[0-9]+$"]\nB\n')
+    assert len(ps.tests) == 1
+    t = ps.tests[0]
+    assert t.offset == 0 and t.column == "low" and t.regex == "^[0-9]+$"
+
+
+def test_bad_lines_raise():
+    with pytest.raises(ValueError):
+        parse_pattern_file("U00:%x[0,nosuchcol]")
+    with pytest.raises(ValueError):
+        parse_pattern_file("B00:%x[0,low]")  # bigram observations
+    with pytest.raises(ValueError):
+        parse_pattern_file("U00:%x[0,low]%x[1,low]")  # concatenation
+
+
+@pytest.fixture(scope="module")
+def bundle(ray_session, tiny_dir):
+    from ner_ray.state.model import ModelBundle
+
+    return ModelBundle.load(f"{tiny_dir}/model.parquet",
+                            f"{tiny_dir}/alias.parquet")
+
+
+def _tag(texts, bundle, pats=None):
+    from ner_ray.state.model import GAZ_VALUES
+    from ner_ray.stages.tagger import tag_spans
+
+    gid = bundle.value_ids["gaz"]
+    gaz_row = np.array([gid.get(v, 0) for v in GAZ_VALUES])
+    return tag_spans(texts, bundle, gaz_row, pats=pats).to_pylist()
+
+
+@pytest.fixture(scope="module")
+def span_texts(tiny_dir):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{tiny_dir}/docs.parquet").to_pylist()
+    texts = [s["text"] for d in docs for s in d["spans"]
+             if s["kind"] == "text"]
+    return pd.Series(texts[:200], dtype=object)
+
+
+def test_default_pattern_file_reproduces_builtin(bundle, span_texts):
+    builtin = _tag(span_texts, bundle, pats=None)
+    via_file = _tag(span_texts, bundle,
+                    pats=parse_pattern_file(default_pattern_text()))
+    assert builtin == via_file
+    assert sum(len(m) for m in builtin) > 0
+
+
+def test_pattern_subset_changes_scoring(bundle, span_texts):
+    subset = parse_pattern_file("Ulow+0:%x[0,low]\nB\n")
+    full = _tag(span_texts, bundle, pats=None)
+    reduced = _tag(span_texts, bundle, pats=subset)
+    assert full != reduced  # the pattern set actually drives emissions
+
+
+def test_tagger_actor_accepts_pattern_text(ray_session, tiny_dir):
+    import ray.data as rd
+
+    from ner_ray.stages.spans import flatten_text_spans
+    from ner_ray.stages.tagger import TaggerActor
+    from ner_ray.state.model import put_bundle
+
+    bundle = put_bundle(f"{tiny_dir}/model.parquet",
+                        f"{tiny_dir}/alias.parquet")
+    docs = rd.read_parquet(f"{tiny_dir}/docs.parquet")
+    spans = docs.map_batches(flatten_text_spans, batch_format="pyarrow")
+    base = spans.map_batches(
+        TaggerActor, fn_constructor_kwargs={"bundle": bundle},
+        batch_format="pyarrow", concurrency=1, num_cpus=1).to_pandas()
+    via = spans.map_batches(
+        TaggerActor,
+        fn_constructor_kwargs={"bundle": bundle,
+                               "patterns": default_pattern_text()},
+        batch_format="pyarrow", concurrency=1, num_cpus=1).to_pandas()
+    a = base.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    b = via.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert a["mentions"].apply(list).to_list() == \
+        b["mentions"].apply(list).to_list()
