@@ -392,6 +392,155 @@ def train_sgd(seq_ds, alias_types: dict[str, str], epochs: int = 10,
     return w, history
 
 
+# ----------------------------------------------- L-BFGS (batch optimizer)
+
+
+def _pack(w: "TrainWeights") -> np.ndarray:
+    """Flatten all trainable tensors into one parameter vector
+    (family order = FEATURE_FAMILIES, then trans, then start)."""
+    parts = [w.weights[fam].reshape(-1) for fam in FEATURE_FAMILIES]
+    parts += [w.trans.reshape(-1), w.start]
+    return np.concatenate(parts)
+
+
+def _unpack(vec: np.ndarray, value_ids) -> "TrainWeights":
+    w = TrainWeights.zeros(value_ids)
+    pos = 0
+    for fam in FEATURE_FAMILIES:
+        n = w.weights[fam].size
+        w.weights[fam] = vec[pos:pos + n].reshape(w.weights[fam].shape).copy()
+        pos += n
+    n = w.trans.size
+    w.trans = vec[pos:pos + n].reshape(w.trans.shape).copy()
+    pos += n
+    w.start = vec[pos:pos + N_LABELS].copy()
+    return w
+
+
+def _objective(feat_ds, w: "TrainWeights", l2: float, batch_size: int,
+               concurrency) -> tuple[float, "TrainWeights"]:
+    """One distributed pass: mean-NLL + (l2/2)||w||^2 objective and its
+    gradient as a TrainWeights (per-batch partials inside map_batches,
+    dense merge on the driver). Pad/OOV rows are PROJECTED out of the
+    gradient — they are frozen at zero so the trained objective equals
+    the servable model exactly (see _clamp_pad_rows)."""
+    import ray
+
+    w_ref = ray.put(w)
+    parts = feat_ds.map_batches(
+        SGDEpochTrainer,
+        fn_constructor_kwargs={"weights_ref": w_ref},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    ).to_pandas()
+    n = max(int(parts["n_seq"].sum()), 1)
+    g = TrainWeights.zeros(w.value_ids)
+    sq = 0.0
+    for fam in FEATURE_FAMILIES:
+        shape = w.weights[fam].shape
+        acc = np.zeros(shape)
+        for buf in parts[f"g_{fam}"]:
+            acc += np.frombuffer(buf, dtype=np.float64).reshape(shape)
+        acc = acc / n + l2 * w.weights[fam]
+        acc[0] = 0.0
+        g.weights[fam] = acc
+        sq += float((w.weights[fam] ** 2).sum())
+    gt = np.zeros_like(w.trans)
+    for buf in parts["g_trans"]:
+        gt += np.frombuffer(buf, dtype=np.float64).reshape(w.trans.shape)
+    g.trans = gt / n + l2 * w.trans
+    gs = np.zeros_like(w.start)
+    for buf in parts["g_start"]:
+        gs += np.frombuffer(buf, dtype=np.float64)
+    g.start = gs / n + l2 * w.start
+    sq += float((w.trans ** 2).sum()) + float((w.start ** 2).sum())
+    f = float(parts["nll"].sum()) / n + 0.5 * l2 * sq
+    return f, g
+
+
+def train_lbfgs(seq_ds, alias_types: dict[str, str], iters: int = 25,
+                m: int = 8, l2: float = 1e-4, batch_size: int = 256,
+                concurrency=(1, 8), tol: float = 1e-5):
+    """Distributed CRF training with L-BFGS — the reference's default
+    optimizer family (cf. Wapiti src/lbfgs.c; Nocedal & Wright ch.7
+    two-loop recursion, reconstructed; no scipy in this environment so
+    the recursion + Armijo backtracking line search are implemented
+    directly in numpy).
+
+    Each objective/gradient evaluation is ONE streaming map_batches
+    pass over the pre-featurized corpus (mergeable dense partials, the
+    same SGDEpochTrainer workers train_sgd uses); the driver holds only
+    the parameter vector and the m-pair curvature history. L2 only —
+    L1/elastic-net needs the OWL-QN orthant projection, left as the
+    documented extension.
+
+    Returns (TrainWeights, history) where history[i]["mean_obj"] is the
+    ACCEPTED objective value per iteration — monotone non-increasing by
+    the Armijo condition (asserted in tests/test_train_lbfgs.py)."""
+    value_ids = build_feature_space(seq_ds)
+    w = TrainWeights.zeros(value_ids)
+    feat_ds = featurize(seq_ds, value_ids, alias_types)
+
+    x = _pack(w)
+    f, g_struct = _objective(feat_ds, w, l2, batch_size, concurrency)
+    g = _pack(g_struct)
+    S: list[np.ndarray] = []
+    Y: list[np.ndarray] = []
+    rho: list[float] = []
+    history = [{"iter": 0, "mean_obj": round(f, 6)}]
+    for it in range(iters):
+        # two-loop recursion: z ~= H^{-1} g
+        q = g.copy()
+        alphas = []
+        for s, y, r in zip(reversed(S), reversed(Y), reversed(rho)):
+            a = r * s.dot(q)
+            alphas.append(a)
+            q -= a * y
+        if Y:
+            gamma = S[-1].dot(Y[-1]) / Y[-1].dot(Y[-1])
+        else:
+            gamma = 1.0 / max(np.linalg.norm(g), 1.0)
+        z = gamma * q
+        for (s, y, r), a in zip(zip(S, Y, rho), reversed(alphas)):
+            b = r * y.dot(z)
+            z += (a - b) * s
+        d = -z
+        gTd = float(g.dot(d))
+        if gTd > -1e-12:          # not a descent direction: steepest
+            d = -g
+            gTd = -float(g.dot(g))
+        step, accepted = 1.0, False
+        for _ls in range(20):     # Armijo backtracking
+            x_new = x + step * d
+            w_new = _unpack(x_new, value_ids)
+            f_new, g_new_struct = _objective(feat_ds, w_new, l2,
+                                             batch_size, concurrency)
+            if f_new <= f + 1e-4 * step * gTd:
+                accepted = True
+                break
+            step *= 0.5
+        if not accepted:
+            break                  # line search exhausted: converged
+        g_new = _pack(g_new_struct)
+        s_vec, y_vec = x_new - x, g_new - g
+        sy = float(s_vec.dot(y_vec))
+        if sy > 1e-10:            # curvature condition
+            S.append(s_vec)
+            Y.append(y_vec)
+            rho.append(1.0 / sy)
+            if len(S) > m:
+                S.pop(0)
+                Y.pop(0)
+                rho.pop(0)
+        x, f, g = x_new, f_new, g_new
+        history.append({"iter": it + 1, "mean_obj": round(f, 6)})
+        if np.linalg.norm(g) < tol:
+            break
+    w_final = _unpack(x, value_ids)
+    _clamp_pad_rows(w_final)      # no-op by construction; belt+braces
+    return w_final, history
+
+
 class EpochTrainer:
     """map_batches worker: sequential perceptron over the batch's
     sequences on a LOCAL weight copy; returns the dense delta."""

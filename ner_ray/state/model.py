@@ -164,3 +164,91 @@ def put_bundle(model_path: str, alias_path: str, families=None):
     import ray
 
     return ray.put(ModelBundle.load(model_path, alias_path, families))
+
+
+# ------------------------------------------------ text model format
+#
+# Wapiti dumps/loads a self-describing TEXT model: a header, the
+# embedded pattern block, then the sparse feature weights (cf. Wapiti
+# src/model.c mdl_save/mdl_load, reconstructed from public docs). Ours
+# mirrors that shape (not byte-compatible): weights serialize with
+# float.hex() so a round trip is bit-exact.
+
+_TEXT_MAGIC = "#ner_ray_model#1"
+
+
+def export_model_text(model_table, pattern_text: str | None = None) -> str:
+    """Sparse model table (+ optional embedded pattern file) -> text."""
+    if pattern_text is None:
+        from ner_ray.functions.patterns import default_pattern_text
+
+        pattern_text = default_pattern_text()
+    pat_lines = pattern_text.rstrip("\n").splitlines()
+    feats = model_table.column("feature").to_pylist()
+    labels = model_table.column("label").to_pylist()
+    ws = model_table.column("weight").to_pylist()
+    out = [_TEXT_MAGIC, f"#patterns#{len(pat_lines)}"]
+    out += pat_lines
+    out.append(f"#features#{len(feats)}")
+    for f, l, w in zip(feats, labels, ws):
+        out.append(f"{f}\t{l}\t{float(w).hex()}")
+    return "\n".join(out) + "\n"
+
+
+def import_model_text(text: str):
+    """Inverse of export_model_text -> (model pa.Table, pattern_text).
+    Validates section counts; weights parse bit-exactly via
+    float.fromhex."""
+    import pyarrow as pa
+
+    from ner_ray import schema as S
+
+    lines = text.rstrip("\n").split("\n")
+    if not lines or lines[0] != _TEXT_MAGIC:
+        raise ValueError("not a ner_ray text model (bad magic)")
+    if not lines[1].startswith("#patterns#"):
+        raise ValueError("missing #patterns# section")
+    n_pat = int(lines[1].split("#")[-1])
+    pat_lines = lines[2:2 + n_pat]
+    fhdr = lines[2 + n_pat]
+    if not fhdr.startswith("#features#"):
+        raise ValueError("missing #features# section")
+    n_feat = int(fhdr.split("#")[-1])
+    rows = lines[3 + n_pat:3 + n_pat + n_feat]
+    if len(rows) != n_feat:
+        raise ValueError(
+            f"feature section truncated: {len(rows)} != {n_feat}")
+    feats, labels, ws = [], [], []
+    for r in rows:
+        f, l, w = r.split("\t")
+        feats.append(f)
+        labels.append(l)
+        ws.append(float.fromhex(w))
+    tbl = pa.table({"feature": feats, "label": labels, "weight": ws},
+                   schema=S.CRF_MODEL)
+    return tbl, "\n".join(pat_lines) + "\n"
+
+
+def save_model_text(model_path: str, out_path: str,
+                    pattern_text: str | None = None) -> None:
+    """Parquet sparse model -> Wapiti-shaped text file on disk."""
+    import pyarrow.parquet as pq_
+
+    with open(out_path, "w") as fh:
+        fh.write(export_model_text(pq_.read_table(model_path),
+                                   pattern_text))
+
+
+def load_model_text(path: str, alias_path: str) -> "ModelBundle":
+    """Text model file -> ModelBundle (pattern block drives the family
+    layout, so custom-offset models compile correctly)."""
+    from ner_ray.functions.patterns import parse_pattern_file
+
+    with open(path) as fh:
+        tbl, pattern_text = import_model_text(fh.read())
+    pats = parse_pattern_file(pattern_text)
+    return ModelBundle.from_rows(
+        tbl.column("feature").to_pylist(),
+        tbl.column("label").to_pylist(),
+        tbl.column("weight").to_pylist(),
+        alias_path, families=pats.families)
