@@ -182,16 +182,55 @@ def pairwise_jaccard_batch(df: pd.DataFrame, k: int = 3,
                          "jaccard": np.round(jac, 6)})
 
 
+MAX_DRIVER_VERIFY_PAIRS = 100_000
+
+
 def minhash_near_dups(docs_ds, text_col: str = "text", k: int = 3,
-                      threshold: float = 0.7, num_partitions: int = 8):
-    """Full MinHash-LSH near-dup pipeline, fully distributed (SURVEY.md
-    §2.7 D4 scale path): candidate pairs stay a Dataset and are hash-
-    joined back to the docs table twice (doc_a then doc_b) to attach
-    texts; exact shingle-Jaccard runs vectorized inside map_batches.
-    Nothing is materialized on the driver — candidate volume and doc
-    count are both unbounded."""
+                      threshold: float = 0.7, num_partitions: int = 8,
+                      max_driver_verify_pairs: int = MAX_DRIVER_VERIFY_PAIRS):
+    """Full MinHash-LSH near-dup pipeline with a verify-size dispatch
+    (SURVEY.md §2.7 D4; same shape as canon.canonicalize):
+
+    * candidate count <= ``max_driver_verify_pairs``: the docs scan
+      stays DISTRIBUTED (broadcast key-set semi-filter, no shuffle) and
+      only the candidate docs' texts — bounded by 2x the threshold —
+      reach the driver for the vectorized Jaccard. Two fixed shuffle
+      rounds cheaper than the join path; driver memory bounded by the
+      threshold, never by corpus size.
+    * larger: candidate pairs stay a Dataset and hash-join back to the
+      docs table twice (doc_a then doc_b); exact shingle-Jaccard runs
+      vectorized inside map_batches — nothing driver-side, candidate
+      volume and doc count both unbounded."""
     cand = lsh_candidate_pairs(docs_ds, text_col) \
-        .select_columns(["doc_a", "doc_b"])
+        .select_columns(["doc_a", "doc_b"]).materialize()
+    if cand.count() <= max_driver_verify_pairs:
+        import ray
+        import ray.data as rd
+
+        pairs_df = cand.to_pandas()
+        if pairs_df.empty:
+            return rd.from_pandas(pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=object),
+                 "doc_b": pd.Series([], dtype=object),
+                 "jaccard": pd.Series([], dtype=float)}))
+        need = pd.unique(pd.concat([pairs_df["doc_a"], pairs_df["doc_b"]]))
+        keys_ref = ray.put(pa.array(sorted(need)))
+
+        def pick(t: pa.Table) -> pa.Table:
+            # stateless task pool: broadcast key set via object store,
+            # no actor spin-up for a one-shot filter
+            return t.filter(pc.is_in(t.column("doc_id"),
+                                     value_set=ray.get(keys_ref)))
+
+        picked = docs_ds.select_columns(["doc_id", text_col]) \
+            .map_batches(pick, batch_format="pyarrow").to_pandas()
+        texts = dict(zip(picked["doc_id"], picked[text_col]))
+        verified = verify_jaccard(pairs_df, texts, k, threshold)
+        return rd.from_pandas(verified) if len(verified) else \
+            rd.from_pandas(pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=object),
+                 "doc_b": pd.Series([], dtype=object),
+                 "jaccard": pd.Series([], dtype=float)}))
     docs = docs_ds.select_columns(["doc_id", text_col])
     side_a = docs.map_batches(
         lambda t: t.rename_columns(["doc_a", "text_a"]),

@@ -29,8 +29,16 @@ def test_minhash_distributed_equals_driver_side(ray_session):
 
     docs = rd.read_parquet(f"{SF}/documents.parquet",
                            columns=["doc_id", "text"])
-    new = minhash_near_dups(docs, threshold=0.7).to_pandas() \
+    new = minhash_near_dups(docs, threshold=0.7,
+                            max_driver_verify_pairs=0).to_pandas() \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # the small-side dispatch (bounded driver verify) must agree with
+    # the join-back path
+    small = minhash_near_dups(docs, threshold=0.7).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        new.astype({"doc_a": "int64", "doc_b": "int64"}),
+        small.astype({"doc_a": "int64", "doc_b": "int64"}))
 
     # round-1 algorithm, inline: driver-side candidates + broadcast texts
     cand = lsh_candidate_pairs(docs).to_pandas()
