@@ -58,6 +58,18 @@ class PatternSet:
     tests: tuple[RegexTest, ...] = ()
     has_bigram: bool = False
 
+    @property
+    def score_families(self) -> dict[str, tuple[int, ...]]:
+        """What the tagger scores: the %x families PLUS one family per
+        %t regex test (family name = template id, at the test's
+        offset). ``families`` stays pure-%x so render() round-trips."""
+        merged: dict[str, tuple[int, ...]] = dict(self.families)
+        for t in self.tests:
+            offs = set(merged.get(t.template_id, ()))
+            offs.add(t.offset)
+            merged[t.template_id] = tuple(sorted(offs))
+        return merged
+
     def render(self) -> str:
         """Inverse of parse_pattern_file (canonical ordering)."""
         lines = []

@@ -496,14 +496,19 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                              b.embedding::DOUBLE[]) >= 0.45
 """)
 def q_embed_dup_pairs(sf_dir: str):
-    """Cosine near-dup pairs. Threshold 0.45 is tuned to the synthetic
-    embeddings' similarity distribution (random 64-d vectors peak
-    ~0.5) so the result is non-empty at every sf."""
-    from ner_ray.stages.similarity import cosine_dup_pairs
+    """Cosine near-dup pairs — pinned to the EXACT path because this
+    entry carries an exact-match SQL oracle (the size-dispatching
+    cosine_dup_pairs would silently switch to the approximate banded-
+    LSH path above 200k rows and break the value match; the dispatcher
+    and the LSH scale path are library API, recall-tested separately).
+    Threshold 0.45 is tuned to the synthetic embeddings' similarity
+    distribution (random 64-d vectors peak ~0.5) so the result is
+    non-empty at every sf."""
+    from ner_ray.stages.similarity import cosine_dup_pairs_exact
 
-    return cosine_dup_pairs(_rp(sf_dir, "embeddings",
-                                ["vec_id", "embedding"]),
-                            threshold=0.45)
+    return cosine_dup_pairs_exact(_rp(sf_dir, "embeddings",
+                                      ["vec_id", "embedding"]),
+                                  threshold=0.45)
 
 
 @q("q_hll_distinct", sql="""

@@ -108,19 +108,33 @@ class CandidateStage:
         pdf = batch.to_pandas()
         surf = pdf["norm_surface"].astype(object)
         codes, uniq = pd.factorize(surf)
+        # dict lookups on UNIQUES only; everything per-mention below is
+        # numpy gathers (factorize-first rule — no per-candidate loop)
         per_uniq = [self.cands.get(u) for u in uniq]
-        rows, ents, priors = [], [], []
-        for i, code in enumerate(codes):  # loop over mentions with hits
-            hit = per_uniq[code]
-            if hit is None or hit[2] != pdf["ne_type"].iloc[i]:
-                continue
-            for e, p in zip(hit[0], hit[1]):
-                rows.append(i)
-                ents.append(e)
-                priors.append(float(p))
+        u_ents = [np.asarray(h[0], dtype=object) if h else
+                  np.array([], dtype=object) for h in per_uniq]
+        u_pri = [np.asarray(h[1], dtype=np.float64) if h else
+                 np.array([], dtype=np.float64) for h in per_uniq]
+        u_type = np.array([h[2] if h else "" for h in per_uniq],
+                          dtype=object)
+        u_n = np.array([len(e) for e in u_ents], dtype=np.int64)
+        flat_ents = np.concatenate(u_ents) if u_ents else \
+            np.array([], dtype=object)
+        flat_pri = np.concatenate(u_pri) if u_pri else \
+            np.array([], dtype=np.float64)
+        u_off = np.cumsum(u_n) - u_n
+
+        type_ok = u_type[codes] == pdf["ne_type"].to_numpy()
+        n_per = np.where(type_ok, u_n[codes], 0)
+        rows = np.repeat(np.arange(len(pdf)), n_per)
+        starts = u_off[codes][n_per > 0]
+        lens = n_per[n_per > 0]
+        total = int(lens.sum())
+        idx = np.repeat(starts, lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens))
         out = pdf.iloc[rows].reset_index(drop=True)
-        out["entity_id"] = ents
-        out["prior"] = priors
+        out["entity_id"] = flat_ents[idx]
+        out["prior"] = flat_pri[idx]
         return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -181,15 +181,23 @@ class MediaPipelineStage:
         stats = self.decoder(batch)
         frames = self.sampler(batch)
         # the sampler emits frame rows grouped consecutively in media-row
-        # order (np.repeat over the same flatten), so per-media counts
-        # recovered from the same hash partition the frame_ref column
-        h = hash_column(stats.column("media_ref")) if len(stats) else \
-            np.array([], dtype=np.uint64)
-        n_frames = (1 + (h % np.uint64(100))).astype(np.int64)
-        n_sampled = np.minimum(
-            (n_frames + self.sampler.stride - 1) // self.sampler.stride,
-            self.sampler.max_frames).astype(np.int64)
-        assert int(n_sampled.sum()) == len(frames)
+        # order (np.repeat over the same flatten); recover per-media
+        # counts from the frames table itself — run-length over the
+        # (doc_id, span_idx) key — so this stage never re-derives the
+        # sampler's internal frame-count formula
+        fkeys = pd.MultiIndex.from_arrays([
+            frames.column("doc_id").to_pandas(),
+            frames.column("span_idx").to_pandas()])
+        per_media = fkeys.value_counts(sort=False)
+        skeys = pd.MultiIndex.from_arrays([
+            stats.column("doc_id").to_pandas(),
+            stats.column("span_idx").to_pandas()])
+        n_sampled = per_media.reindex(skeys, fill_value=0) \
+            .to_numpy(dtype=np.int64)
+        if int(n_sampled.sum()) != len(frames):
+            raise ValueError(
+                "frame rows do not partition by media span — sampler "
+                "and decoder disagree on the media row set")
         offsets = pa.array(
             np.concatenate([[0], np.cumsum(n_sampled)]).astype(np.int32),
             pa.int32())

@@ -268,9 +268,7 @@ def lsh_ann_topk(embeddings_ds, query_vec: np.ndarray, k: int = 10,
     path: the bucket column becomes a partition key and only matching
     partitions are read."""
     q = _normalize(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))
-    d = q.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((N_PLANES, d))
+    planes = _planes_for(q.shape[1], seed)  # shared with build_lsh_index
     qb = int(_lsh_buckets(q, planes)[0])
     near = {qb} | {qb ^ (1 << b) for b in range(N_PLANES)}
 

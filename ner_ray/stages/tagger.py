@@ -88,10 +88,15 @@ class FeatureCache:
         self.size = 0
         cap = self._INIT_CAP
         self.static = np.zeros((cap, N_LABELS))
+        # only families the MODEL actually scores get id columns —
+        # pattern families absent from the model are OOV everywhere and
+        # contribute nothing (matches the uncached path)
         self.cross: dict[str, np.ndarray] = {
             fam: np.zeros(cap, dtype=np.int64)
-            for fam in _cross_families(pats.families if pats is not None
-                                       else b.families)}
+            for fam in _cross_families(pats.score_families
+                                       if pats is not None
+                                       else b.families)
+            if fam in b.value_ids}
         self.norm = np.empty(cap, dtype=object)
         self.tok_len = np.zeros(cap, dtype=np.int64)
         self.is_first = np.zeros(cap, dtype=bool)
@@ -328,7 +333,7 @@ def _unique_features(uniq: pd.Series, b: ModelBundle, pats=None):
     sums every offset-0 family contribution in unique space — a batch
     has few thousand distinct tokens, so the expensive string kernels
     never touch the full token stream."""
-    fams = pats.families if pats is not None else b.families
+    fams = pats.score_families if pats is not None else b.families
     u_norm = normalize_series(uniq)
     static = np.zeros((len(uniq), N_LABELS))
     cross: dict[str, np.ndarray] = {}
@@ -354,10 +359,12 @@ def _emissions(codes: np.ndarray, static_u: np.ndarray,
     """(N, N_LABELS) emissions: one static gather + one shifted gather
     per (cross-family, non-zero offset) — four low-offset gathers under
     the default pattern file — + the gaz gather."""
-    fams = pats.families if pats is not None else b.families
+    fams = pats.score_families if pats is not None else b.families
     E = static_u[codes]
     for fam, ids_u in cross_u.items():
-        W = b.weights[fam]
+        W = b.weights.get(fam)
+        if W is None:
+            continue  # family absent from the model: all-OOV, scores 0
         model_offs = b.families.get(fam, ())
         ids_flat = ids_u[codes]
         for off in fams[fam]:

@@ -260,6 +260,42 @@ def _clamp_pad_rows(w: "TrainWeights") -> None:
         w.weights[fam][0] = 0.0
 
 
+def _seq_emissions(ids: dict[str, np.ndarray], w: "TrainWeights",
+                   T: int) -> np.ndarray:
+    E = np.zeros((T, N_LABELS))
+    for fam, M in ids.items():
+        Wf = w.weights[fam]
+        for oi in range(M.shape[1]):
+            E += Wf[M[:, oi], oi]
+    return E
+
+
+def _forward(E: np.ndarray, w: "TrainWeights"):
+    T = E.shape[0]
+    alpha = np.zeros((T, N_LABELS))
+    alpha[0] = w.start + E[0]
+    for t in range(1, T):
+        alpha[t] = _logsumexp_vec(alpha[t - 1][:, None] + w.trans, 0) + E[t]
+    return alpha, _logsumexp_vec(alpha[-1], 0)
+
+
+def _gold_score(E: np.ndarray, gold: np.ndarray, w: "TrainWeights"):
+    T = len(gold)
+    s = w.start[gold[0]] + E[np.arange(T), gold].sum()
+    if T > 1:
+        s += w.trans[gold[:-1], gold[1:]].sum()
+    return s
+
+
+def sequence_nll(ids: dict[str, np.ndarray], gold: np.ndarray,
+                 w: "TrainWeights") -> float:
+    """NLL only (forward pass, no beta/marginals) — the cheap
+    evaluation for line-search trial steps."""
+    E = _seq_emissions(ids, w, len(gold))
+    _alpha, logZ = _forward(E, w)
+    return float(logZ - _gold_score(E, gold, w))
+
+
 def sequence_nll_gradient(ids: dict[str, np.ndarray], gold: np.ndarray,
                           w: "TrainWeights", out=None):
     """Negative log-likelihood and its gradient for ONE sequence —
@@ -273,27 +309,16 @@ def sequence_nll_gradient(ids: dict[str, np.ndarray], gold: np.ndarray,
     d NLL / d w; descent direction is the caller's concern.
     """
     T = len(gold)
-    E = np.zeros((T, N_LABELS))
-    for fam, M in ids.items():
-        Wf = w.weights[fam]
-        for oi in range(M.shape[1]):
-            E += Wf[M[:, oi], oi]
+    E = _seq_emissions(ids, w, T)
     # forward / backward in log space
-    alpha = np.zeros((T, N_LABELS))
-    alpha[0] = w.start + E[0]
-    for t in range(1, T):
-        alpha[t] = _logsumexp_vec(alpha[t - 1][:, None] + w.trans, 0) + E[t]
+    alpha, logZ = _forward(E, w)
     beta = np.zeros((T, N_LABELS))
     for t in range(T - 2, -1, -1):
         beta[t] = _logsumexp_vec(w.trans + (E[t + 1] + beta[t + 1])[None, :],
                                  1)
-    logZ = _logsumexp_vec(alpha[-1], 0)
     post = np.exp(alpha + beta - logZ)          # (T, L) unigram marginals
 
-    gold_score = w.start[gold[0]] + E[np.arange(T), gold].sum()
-    if T > 1:
-        gold_score += w.trans[gold[:-1], gold[1:]].sum()
-    nll = float(logZ - gold_score)
+    nll = float(logZ - _gold_score(E, gold, w))
 
     if out is not None:
         gw, g_trans, g_start_arr = out
@@ -364,29 +389,11 @@ def train_sgd(seq_ds, alias_types: dict[str, str], epochs: int = 10,
     feat_ds = featurize(seq_ds, value_ids, alias_types)
     history = []
     for epoch in range(epochs):
-        w_ref = ray.put(w)
-        parts = feat_ds.map_batches(
-            SGDEpochTrainer,
-            fn_constructor_kwargs={"weights_ref": w_ref},
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency, num_cpus=1,
-        ).to_pandas()
-        n = max(int(parts["n_seq"].sum()), 1)
-        nll = float(parts["nll"].sum()) / n
+        nll, g, _n = _grad_pass(feat_ds, w, batch_size, concurrency)
         for fam in FEATURE_FAMILIES:
-            shape = w.weights[fam].shape
-            g = np.zeros(shape)
-            for buf in parts[f"g_{fam}"]:
-                g += np.frombuffer(buf, dtype=np.float64).reshape(shape)
-            w.weights[fam] -= lr * (g / n + l2 * w.weights[fam])
-        gt = np.zeros_like(w.trans)
-        for buf in parts["g_trans"]:
-            gt += np.frombuffer(buf, dtype=np.float64).reshape(w.trans.shape)
-        w.trans -= lr * (gt / n + l2 * w.trans)
-        gs = np.zeros_like(w.start)
-        for buf in parts["g_start"]:
-            gs += np.frombuffer(buf, dtype=np.float64)
-        w.start -= lr * (gs / n + l2 * w.start)
+            w.weights[fam] -= lr * (g.weights[fam] + l2 * w.weights[fam])
+        w.trans -= lr * (g.trans + l2 * w.trans)
+        w.start -= lr * (g.start + l2 * w.start)
         _clamp_pad_rows(w)
         history.append({"epoch": epoch, "mean_nll": round(nll, 6)})
     return w, history
@@ -417,13 +424,12 @@ def _unpack(vec: np.ndarray, value_ids) -> "TrainWeights":
     return w
 
 
-def _objective(feat_ds, w: "TrainWeights", l2: float, batch_size: int,
-               concurrency) -> tuple[float, "TrainWeights"]:
-    """One distributed pass: mean-NLL + (l2/2)||w||^2 objective and its
-    gradient as a TrainWeights (per-batch partials inside map_batches,
-    dense merge on the driver). Pad/OOV rows are PROJECTED out of the
-    gradient — they are frozen at zero so the trained objective equals
-    the servable model exactly (see _clamp_pad_rows)."""
+def _grad_pass(feat_ds, w: "TrainWeights", batch_size: int,
+               concurrency) -> tuple[float, "TrainWeights", int]:
+    """ONE distributed gradient pass (per-batch partials inside
+    map_batches, dense merge on the driver): returns (mean NLL,
+    mean gradient WITHOUT regularization, n_sequences). The single
+    reducer both train_sgd and the L-BFGS objective build on."""
     import ray
 
     w_ref = ray.put(w)
@@ -435,27 +441,76 @@ def _objective(feat_ds, w: "TrainWeights", l2: float, batch_size: int,
     ).to_pandas()
     n = max(int(parts["n_seq"].sum()), 1)
     g = TrainWeights.zeros(w.value_ids)
-    sq = 0.0
     for fam in FEATURE_FAMILIES:
         shape = w.weights[fam].shape
         acc = np.zeros(shape)
         for buf in parts[f"g_{fam}"]:
             acc += np.frombuffer(buf, dtype=np.float64).reshape(shape)
-        acc = acc / n + l2 * w.weights[fam]
-        acc[0] = 0.0
-        g.weights[fam] = acc
-        sq += float((w.weights[fam] ** 2).sum())
+        g.weights[fam] = acc / n
     gt = np.zeros_like(w.trans)
     for buf in parts["g_trans"]:
         gt += np.frombuffer(buf, dtype=np.float64).reshape(w.trans.shape)
-    g.trans = gt / n + l2 * w.trans
+    g.trans = gt / n
     gs = np.zeros_like(w.start)
     for buf in parts["g_start"]:
         gs += np.frombuffer(buf, dtype=np.float64)
-    g.start = gs / n + l2 * w.start
+    g.start = gs / n
+    return float(parts["nll"].sum()) / n, g, n
+
+
+class NllWorker:
+    """map_batches worker for NLL-ONLY evaluation (forward pass, no
+    gradient, no dense partial shipping) — line-search trial steps."""
+
+    def __init__(self, weights_ref):
+        import ray
+
+        self.w: TrainWeights = ray.get(weights_ref) \
+            if not isinstance(weights_ref, TrainWeights) else weights_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nll_sum, n_seq = 0.0, 0
+        for ids, gold in _rows_from_featurized(batch):
+            n_seq += 1
+            nll_sum += sequence_nll(ids, gold, self.w)
+        return pa.table({"nll": pa.array([nll_sum], pa.float64()),
+                         "n_seq": pa.array([n_seq], pa.int64())})
+
+
+def _objective_value(feat_ds, w: "TrainWeights", l2: float,
+                     batch_size: int, concurrency) -> float:
+    """Objective only — roughly half the cost of _objective (no beta
+    pass, no marginal scatter, no dense gradient shipping)."""
+    import ray
+
+    w_ref = ray.put(w)
+    parts = feat_ds.map_batches(
+        NllWorker, fn_constructor_kwargs={"weights_ref": w_ref},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    ).to_pandas()
+    n = max(int(parts["n_seq"].sum()), 1)
+    sq = sum(float((w.weights[fam] ** 2).sum()) for fam in FEATURE_FAMILIES)
     sq += float((w.trans ** 2).sum()) + float((w.start ** 2).sum())
-    f = float(parts["nll"].sum()) / n + 0.5 * l2 * sq
-    return f, g
+    return float(parts["nll"].sum()) / n + 0.5 * l2 * sq
+
+
+def _objective(feat_ds, w: "TrainWeights", l2: float, batch_size: int,
+               concurrency) -> tuple[float, "TrainWeights"]:
+    """mean-NLL + (l2/2)||w||^2 objective and its gradient. Pad/OOV
+    rows are PROJECTED out of the gradient — they are frozen at zero so
+    the trained objective equals the servable model exactly (see
+    _clamp_pad_rows)."""
+    mean_nll, g, _n = _grad_pass(feat_ds, w, batch_size, concurrency)
+    sq = 0.0
+    for fam in FEATURE_FAMILIES:
+        g.weights[fam] += l2 * w.weights[fam]
+        g.weights[fam][0] = 0.0
+        sq += float((w.weights[fam] ** 2).sum())
+    g.trans += l2 * w.trans
+    g.start += l2 * w.start
+    sq += float((w.trans ** 2).sum()) + float((w.start ** 2).sum())
+    return mean_nll + 0.5 * l2 * sq, g
 
 
 def train_lbfgs(seq_ds, alias_types: dict[str, str], iters: int = 25,
@@ -509,18 +564,30 @@ def train_lbfgs(seq_ds, alias_types: dict[str, str], iters: int = 25,
         if gTd > -1e-12:          # not a descent direction: steepest
             d = -g
             gTd = -float(g.dot(g))
-        step, accepted = 1.0, False
-        for _ls in range(20):     # Armijo backtracking
+        # Armijo backtracking: the FIRST trial (step=1, usually
+        # accepted) evaluates the full gradient; further halvings
+        # evaluate NLL only (half the cost), with one gradient pass on
+        # the eventually-accepted point
+        step, accepted, g_new_struct = 1.0, False, None
+        for _ls in range(20):
             x_new = x + step * d
             w_new = _unpack(x_new, value_ids)
-            f_new, g_new_struct = _objective(feat_ds, w_new, l2,
-                                             batch_size, concurrency)
+            if _ls == 0:
+                f_new, g_new_struct = _objective(feat_ds, w_new, l2,
+                                                 batch_size, concurrency)
+            else:
+                f_new = _objective_value(feat_ds, w_new, l2,
+                                         batch_size, concurrency)
+                g_new_struct = None
             if f_new <= f + 1e-4 * step * gTd:
                 accepted = True
                 break
             step *= 0.5
         if not accepted:
             break                  # line search exhausted: converged
+        if g_new_struct is None:   # accepted on an NLL-only trial
+            _f_chk, g_new_struct = _objective(feat_ds, w_new, l2,
+                                              batch_size, concurrency)
         g_new = _pack(g_new_struct)
         s_vec, y_vec = x_new - x, g_new - g
         sy = float(s_vec.dot(y_vec))

@@ -75,13 +75,16 @@ class ModelBundle:
     def from_rows(cls, feats, labels, ws, alias_path: str,
                   families: "dict[str, tuple[int, ...]] | None" = None
                   ) -> "ModelBundle":
+        strict = families is None
         fams: dict[str, tuple[int, ...]] = dict(families or FEATURE_FAMILIES)
         trans = np.zeros((N_LABELS, N_LABELS))
         start = np.zeros(N_LABELS)
-        # first pass: collect per-family value -> offset -> label weights;
-        # families present in the file but absent from the layout are
-        # added with their observed offsets (sorted) so custom-trained
-        # models (e.g. pattern-file regex tests) load without a schema
+        # first pass: collect per-family value -> offset -> label weights.
+        # With an EXPLICIT layout (pattern-file path), families present in
+        # the file but absent from it are added with their observed
+        # offsets so custom-trained models (e.g. %t regex-test families)
+        # load without a schema; under the default layout an unknown
+        # family is a corrupt model file and fails fast.
         parsed: list[tuple[str, int, str, int, float]] = []
         extra_offs: dict[str, set[int]] = {}
         for f, l, w in zip(feats, labels, ws):
@@ -96,6 +99,11 @@ class ModelBundle:
             off = int(off_s)
             parsed.append((fam, off, value, li, w))
             if fam not in fams:
+                if strict:
+                    raise ValueError(
+                        f"unknown feature family {fam!r} in model file "
+                        f"(expected one of {sorted(fams)}); pass "
+                        f"families= to load a custom layout")
                 extra_offs.setdefault(fam, set()).add(off)
         for fam, offs in extra_offs.items():
             fams[fam] = tuple(sorted(offs))
@@ -206,13 +214,18 @@ def import_model_text(text: str):
     lines = text.rstrip("\n").split("\n")
     if not lines or lines[0] != _TEXT_MAGIC:
         raise ValueError("not a ner_ray text model (bad magic)")
-    if not lines[1].startswith("#patterns#"):
+    if len(lines) < 2 or not lines[1].startswith("#patterns#"):
         raise ValueError("missing #patterns# section")
     n_pat = int(lines[1].split("#")[-1])
     pat_lines = lines[2:2 + n_pat]
+    if len(pat_lines) < n_pat or len(lines) <= 2 + n_pat:
+        raise ValueError(
+            f"pattern section truncated: expected {n_pat} pattern lines "
+            f"plus a #features# header")
     fhdr = lines[2 + n_pat]
     if not fhdr.startswith("#features#"):
-        raise ValueError("missing #features# section")
+        raise ValueError("missing #features# section "
+                         "(#patterns# count may be wrong)")
     n_feat = int(fhdr.split("#")[-1])
     rows = lines[3 + n_pat:3 + n_pat + n_feat]
     if len(rows) != n_feat:

@@ -106,6 +106,65 @@ def test_pattern_subset_changes_scoring(bundle, span_texts):
     assert full != reduced  # the pattern set actually drives emissions
 
 
+def test_absent_pattern_family_is_oov_in_both_paths(bundle, span_texts):
+    """A pattern family the model has no weights for must contribute
+    nothing — identically through the cached (FeatureCache) and
+    uncached paths (regression: the cached path used to KeyError)."""
+    from ner_ray.stages.tagger import FeatureCache, tag_spans
+    from ner_ray.state.model import GAZ_VALUES
+
+    pats = parse_pattern_file(
+        default_pattern_text() + 'Ut9:%t[-1,low,"^[0-9]+$"]\n')
+    gid = bundle.value_ids["gaz"]
+    gaz_row = np.array([gid.get(v, 0) for v in GAZ_VALUES])
+    uncached = tag_spans(span_texts, bundle, gaz_row, pats=pats).to_pylist()
+    cache = FeatureCache(bundle, pats)
+    cached = tag_spans(span_texts, bundle, gaz_row, cache=cache,
+                       pats=pats).to_pylist()
+    base = tag_spans(span_texts, bundle, gaz_row).to_pylist()
+    assert uncached == cached == base  # absent family: all-OOV, score 0
+
+
+def test_regex_test_family_scores_when_model_has_weights(span_texts):
+    """%t families DO change emissions when the model carries matching
+    feature rows (value '1' under the template-id family)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_ray import schema as S
+    from ner_ray.fixtures.gen import ensure_fixtures
+    from ner_ray.stages.tagger import tag_spans
+    from ner_ray.state.model import GAZ_VALUES, ModelBundle
+
+    tiny = ensure_fixtures("tiny")
+    base_tbl = pq.read_table(f"{tiny}/model.parquet")
+    extra = pa.table({
+        "feature": ["t9:0:1"] * 2,
+        "label": ["B-PER", "O"],
+        "weight": [50.0, -50.0],
+    }, schema=S.CRF_MODEL)
+    pats = parse_pattern_file(
+        default_pattern_text() + 'Ut9:%t[0,low,"^[a-z]+$"]\n')
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.concat_tables([base_tbl, extra]),
+                       f"{td}/model.parquet")
+        b = ModelBundle.load(f"{td}/model.parquet",
+                             f"{tiny}/alias.parquet",
+                             families=pats.score_families)
+    gid = b.value_ids["gaz"]
+    gaz_row = np.array([gid.get(v, 0) for v in GAZ_VALUES])
+    with_test = tag_spans(span_texts, b, gaz_row, pats=pats).to_pylist()
+    # baseline: same bundle, pattern set WITHOUT the %t line (deriving a
+    # %t value requires the pattern set, so pats=None on this bundle
+    # correctly raises — the default pattern file is the right baseline)
+    without = tag_spans(span_texts, b, gaz_row,
+                        pats=parse_pattern_file(default_pattern_text())
+                        ).to_pylist()
+    assert with_test != without  # the +50 B-PER boost on lowercase fires
+
+
 def test_tagger_actor_accepts_pattern_text(ray_session, tiny_dir):
     import ray.data as rd
 
