@@ -96,7 +96,8 @@ def minhash_band_rows(batch: pa.Table, text_col: str = "text",
     return pa.table({
         "band_id": pa.array(
             np.tile(np.arange(N_BANDS, dtype=np.int32), n)[keep]),
-        "band_hash": pa.array(band_hash.reshape(-1)[keep]),
+        # int64 view: native Arrow shuffle key (see exact_dedup note)
+        "band_hash": pa.array(band_hash.reshape(-1).view(np.int64)[keep]),
         "doc_id": pa.array(np.repeat(ids, N_BANDS)[keep]),
     })
 
@@ -291,9 +292,10 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
             out_key[bnd::4] = (sh >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
         return pa.table({
             "band_id": pa.array(out_band),
-            "band_key": pa.array(out_key),
+            # 16-bit keys / int64-view payload: native Arrow shuffle
+            "band_key": pa.array(out_key.astype(np.int64)),
             "doc_id": pa.array(np.repeat(ids, 4)),
-            "simhash": pa.array(np.repeat(sh, 4)),
+            "simhash": pa.array(np.repeat(sh, 4).view(np.int64)),
         })
 
     with_sig = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
@@ -333,7 +335,11 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     from ray.data.aggregate import Min, Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        h = hash_column(t.column(text_col))
+        # int64 VIEW of the uint64 hash: bit-identical distinctness, but
+        # Arrow/pandas shuffle machinery handles int64 natively (uint64
+        # values above 2^63 otherwise fall back to a pickled-object
+        # extension column in the groupby)
+        h = hash_column(t.column(text_col)).view(np.int64)
         tt = pa.table({"h": pa.array(h), id_col: t.column(id_col)})
         g = tt.group_by("h").aggregate([(id_col, "min"), ([], "count_all")])
         return g.rename_columns(["h", id_col, "n_dups"])
