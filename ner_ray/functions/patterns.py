@@ -34,19 +34,24 @@ PATTERN_COLUMNS: tuple[str, ...] = (
 
 _X_RE = re.compile(r"^%x\[(-?\d+),([A-Za-z0-9_]+)\]$")
 _T_RE = re.compile(r'^%t\[(-?\d+),([A-Za-z0-9_]+),"(.*)"\]$')
+_M_RE = re.compile(r'^%m\[(-?\d+),([A-Za-z0-9_]+),"(.*)"\]$')
 
 
 @dataclass(frozen=True)
 class RegexTest:
-    """A ``%t[row,col,"re"]`` template: boolean feature (value "1"/"0")
-    under the family named by the template id. Scoring requires a
-    model trained with matching ``<id>:<off>:<0|1>`` feature rows;
-    absent families contribute nothing (OOV row)."""
+    """A ``%t[row,col,"re"]`` template (boolean feature, value "1"/"0")
+    or — with ``extract=True`` — a ``%m[row,col,"re"]`` template whose
+    value is the MATCHED SUBSTRING (first group if the regex has one,
+    else the whole match; no match -> ""). Both live under the family
+    named by the template id; scoring requires a model trained with
+    matching ``<id>:<off>:<value>`` feature rows; absent families
+    contribute nothing (OOV row)."""
 
     template_id: str
     offset: int
     column: str
     regex: str
+    extract: bool = False
 
 
 @dataclass
@@ -77,8 +82,9 @@ class PatternSet:
             for off in offs:
                 lines.append(f"U{fam}{off:+d}:%x[{off},{fam}]")
         for t in self.tests:
+            tag = "%m" if t.extract else "%t"
             lines.append(
-                f'U{t.template_id}:%t[{t.offset},{t.column},"{t.regex}"]')
+                f'U{t.template_id}:{tag}[{t.offset},{t.column},"{t.regex}"]')
         if self.has_bigram:
             lines.append("B")
         return "\n".join(lines) + "\n"
@@ -126,17 +132,22 @@ def parse_pattern_file(text: str) -> PatternSet:
             off, col = int(m.group(1)), _resolve_column(m.group(2))
             families.setdefault(col, set()).add(off)
             continue
-        m = _T_RE.match(expr)
-        if m:
-            re.compile(m.group(3))  # fail fast on a bad regex
-            tests.append(RegexTest(
-                template_id=f"t{tid}" if not tid.startswith("t") else tid,
-                offset=int(m.group(1)),
-                column=_resolve_column(m.group(2)),
-                regex=m.group(3)))
-            continue
-        raise ValueError(f"line {lineno}: unsupported template "
-                         f"expression {expr!r}")
+        for pat, extract, prefix in ((_T_RE, False, "t"), (_M_RE, True, "m")):
+            m = pat.match(expr)
+            if m:
+                re.compile(m.group(3))  # fail fast on a bad regex
+                tests.append(RegexTest(
+                    template_id=tid if tid.startswith(prefix)
+                    else f"{prefix}{tid}",
+                    offset=int(m.group(1)),
+                    column=_resolve_column(m.group(2)),
+                    regex=m.group(3),
+                    extract=extract))
+                break
+        else:
+            raise ValueError(f"line {lineno}: unsupported template "
+                             f"expression {expr!r}")
+        continue
     return PatternSet(
         families={f: tuple(sorted(s)) for f, s in families.items()},
         tests=tuple(tests),

@@ -233,7 +233,13 @@ def canonicalize_and_resolve(raw_triples_ds, alias_edges_ds,
     from ner_ray.stages.dedup import dedup_triples
 
     canon_ds = canonicalize_distributed(edges)
-    deduped = dedup_triples(raw_triples_ds)
+    # checkpoint between the map/dedup phase and the join phase: the
+    # dedup aggregate has already compacted the data, and keeping the
+    # tagger/linker actor pools out of the two-JoinOperator DAG avoids
+    # a scheduling deadlock when pool-min actors + join aggregators
+    # exceed the CPU budget (observed at low CPU counts; the same
+    # hazard exists on a saturated cluster)
+    deduped = dedup_triples(raw_triples_ds).materialize()
     return canon_ds, resolve_triples_join(deduped, canon_ds)
 
 

@@ -321,6 +321,12 @@ def _family_values(fam: str, uniq: pd.Series, u_norm: pd.Series,
                 col = u_norm if t.column == "low" else \
                     _family_values(t.column, uniq, u_norm, None)
                 pat = re.compile(t.regex)
+                if t.extract:
+                    # %m: matched substring (group 1 if the regex has
+                    # groups, else whole match); no match -> "" (OOV)
+                    grp_re = t.regex if pat.groups else f"({t.regex})"
+                    return col.str.extract(grp_re, expand=True) \
+                        .iloc[:, 0].fillna("")
                 return col.str.contains(pat).map({True: "1", False: "0"})
     raise KeyError(f"unknown feature family {fam!r}")
 

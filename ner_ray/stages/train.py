@@ -608,6 +608,102 @@ def train_lbfgs(seq_ds, alias_types: dict[str, str], iters: int = 25,
     return w_final, history
 
 
+def train_owlqn(seq_ds, alias_types: dict[str, str], iters: int = 25,
+                m: int = 8, l1: float = 1e-4, l2: float = 0.0,
+                batch_size: int = 256, concurrency=(1, 8),
+                tol: float = 1e-5):
+    """Elastic-net CRF training with OWL-QN (Andrew & Gao, ICML 2007 —
+    the L1-capable L-BFGS variant; covers the reference's SGD-L1
+    regime, cf. Wapiti src/sgdl1.c, with batch convergence):
+
+    * pseudo-gradient replaces the gradient at non-differentiable 0s;
+    * the search direction and each trial point are PROJECTED onto the
+      current orthant, so coordinates cross zero only by stopping AT
+      zero — this is what produces exact sparsity;
+    * curvature pairs use the SMOOTH part's gradients only (L2 folded
+      into the smooth objective; L1 handled by the projection).
+
+    Every smooth evaluation is the same distributed pass train_lbfgs
+    uses. Returns (TrainWeights, history) with history monotone in the
+    composite objective."""
+    value_ids = build_feature_space(seq_ds)
+    w = TrainWeights.zeros(value_ids)
+    feat_ds = featurize(seq_ds, value_ids, alias_types)
+
+    def l1_of(v: np.ndarray) -> float:
+        return float(l1 * np.abs(v).sum())
+
+    def pseudo_grad(xv: np.ndarray, gv: np.ndarray) -> np.ndarray:
+        pg = np.where(xv > 0, gv + l1, np.where(xv < 0, gv - l1, 0.0))
+        at0 = xv == 0
+        pg = np.where(at0 & (gv + l1 < 0), gv + l1, pg)
+        pg = np.where(at0 & (gv - l1 > 0), gv - l1, pg)
+        return pg
+
+    x = _pack(w)
+    f_s, g_struct = _objective(feat_ds, w, l2, batch_size, concurrency)
+    g = _pack(g_struct)
+    f = f_s + l1_of(x)
+    S: list[np.ndarray] = []
+    Y: list[np.ndarray] = []
+    rho: list[float] = []
+    history = [{"iter": 0, "mean_obj": round(f, 6)}]
+    for it in range(iters):
+        pg = pseudo_grad(x, g)
+        if np.linalg.norm(pg) < tol:
+            break
+        q = pg.copy()
+        alphas = []
+        for s_v, y_v, r in zip(reversed(S), reversed(Y), reversed(rho)):
+            a = r * s_v.dot(q)
+            alphas.append(a)
+            q -= a * y_v
+        gamma = (S[-1].dot(Y[-1]) / Y[-1].dot(Y[-1])) if Y else \
+            1.0 / max(np.linalg.norm(pg), 1.0)
+        z = gamma * q
+        for (s_v, y_v, r), a in zip(zip(S, Y, rho), reversed(alphas)):
+            b = r * y_v.dot(z)
+            z += (a - b) * s_v
+        d = -z
+        d[d * (-pg) <= 0] = 0.0      # align direction with -pseudo-grad
+        if not d.any():
+            d = -pg
+        xi = np.where(x != 0, np.sign(x), np.sign(-pg))
+        step, accepted = (1.0 if Y else 1.0 / max(np.linalg.norm(pg), 1.0)), \
+            False
+        for _ls in range(20):
+            x_new = x + step * d
+            x_new[x_new * xi < 0] = 0.0   # orthant projection
+            w_new = _unpack(x_new, value_ids)
+            f_new = _objective_value(feat_ds, w_new, l2, batch_size,
+                                     concurrency) + l1_of(x_new)
+            # Armijo with the projected step's directional derivative
+            if f_new <= f + 1e-4 * float(pg.dot(x_new - x)):
+                accepted = True
+                break
+            step *= 0.5
+        if not accepted:
+            break
+        _f_chk, g_new_struct = _objective(feat_ds, w_new, l2,
+                                          batch_size, concurrency)
+        g_new = _pack(g_new_struct)
+        s_vec, y_vec = x_new - x, g_new - g   # smooth gradients only
+        sy = float(s_vec.dot(y_vec))
+        if sy > 1e-10:
+            S.append(s_vec)
+            Y.append(y_vec)
+            rho.append(1.0 / sy)
+            if len(S) > m:
+                S.pop(0)
+                Y.pop(0)
+                rho.pop(0)
+        x, f, g = x_new, f_new, g_new
+        history.append({"iter": it + 1, "mean_obj": round(f, 6)})
+    w_final = _unpack(x, value_ids)
+    _clamp_pad_rows(w_final)
+    return w_final, history
+
+
 class EpochTrainer:
     """map_batches worker: sequential perceptron over the batch's
     sequences on a LOCAL weight copy; returns the dense delta."""

@@ -53,6 +53,34 @@ def test_regex_test_template_parses():
     assert len(ps.tests) == 1
     t = ps.tests[0]
     assert t.offset == 0 and t.column == "low" and t.regex == "^[0-9]+$"
+    assert not t.extract
+
+
+def test_match_extraction_template_parses_and_scores():
+    """%m: the matched substring becomes the feature value; it fires
+    when the model carries a matching <id>:<off>:<substr> row."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_ray import schema as S
+    from ner_ray.fixtures.gen import ensure_fixtures
+    from ner_ray.stages.tagger import _family_values
+    from ner_ray.state.model import GAZ_VALUES, ModelBundle
+
+    ps = parse_pattern_file('Um0:%m[0,low,"([a-z])"]\nB\n')
+    t = ps.tests[0]
+    assert t.extract and t.template_id == "m0"
+    assert ps.score_families["m0"] == (0,)
+    # render round-trips the %m tag
+    assert '%m[0,low,"([a-z])"]' in ps.render()
+
+    uniq = pd.Series(["Alice", "1999", "chen"], dtype=object)
+    from ner_ray.stages.textops import normalize_series
+
+    vals = _family_values("m0", uniq, normalize_series(uniq), ps)
+    assert vals.tolist() == ["a", "", "c"]  # first lowercase letter
 
 
 def test_bad_lines_raise():

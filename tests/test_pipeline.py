@@ -132,7 +132,12 @@ def test_resolve_join_path_equals_broadcast(flagship, ray_session, tiny_dir):
     from ner_ray.stages.canon import resolve_triples_join
 
     canon_ds = rd.from_arrow(flagship["canon"])
-    joined = resolve_triples_join(flagship["deduped"], canon_ds,
+    # materialize the dedup checkpoint first: two JoinOperators
+    # downstream of the tagger/linker actor pools can deadlock the
+    # 4-CPU test session (join aggregators + min actors > CPUs) —
+    # same checkpoint canonicalize_and_resolve's large path takes
+    deduped = flagship["deduped"].materialize()
+    joined = resolve_triples_join(deduped, canon_ds,
                                   num_partitions=4).to_pandas()
     joined = joined.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
     gold = _gold(tiny_dir, "gold_resolved").to_pandas()

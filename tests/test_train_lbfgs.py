@@ -78,3 +78,33 @@ def test_lbfgs_monotone_and_matches_sgd_f1(ray_session, tiny_dir):
     f1_sgd = _f1_of(w_sgd, eval_rows, tiny_dir)
     assert f1_lbfgs >= f1_sgd - 1e-9, (f1_lbfgs, f1_sgd)
     assert f1_lbfgs >= 0.9, f1_lbfgs
+
+
+def _nnz(w):
+    n = sum(int((w.weights[f] != 0).sum()) for f in w.weights)
+    return n + int((w.trans != 0).sum()) + int((w.start != 0).sum())
+
+
+@pytest.mark.slow
+def test_owlqn_l1_is_monotone_and_sparser(ray_session, tiny_dir):
+    import ray.data as rd
+
+    from ner_ray.stages.train import train_lbfgs, train_owlqn
+    from tests.test_train import _training_table
+
+    rows = _training_table(tiny_dir)[:120]
+    alias_tbl = pq.read_table(f"{tiny_dir}/alias.parquet")
+    alias_types = dict(zip(alias_tbl.column("alias").to_pylist(),
+                           alias_tbl.column("ne_type").to_pylist()))
+    seq_ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"tokens": r["tokens"], "tags": r["tags"]} for r in rows]))
+
+    w_l1, hist = train_owlqn(seq_ds, alias_types, iters=10, l1=0.005,
+                             batch_size=64, concurrency=(1, 2))
+    objs = [h["mean_obj"] for h in hist]
+    assert len(objs) >= 3 and objs[-1] < objs[0], objs
+    assert all(b <= a + 1e-9 for a, b in zip(objs, objs[1:])), objs
+
+    w_l2, _ = train_lbfgs(seq_ds, alias_types, iters=10,
+                          batch_size=64, concurrency=(1, 2))
+    assert _nnz(w_l1) < _nnz(w_l2), (_nnz(w_l1), _nnz(w_l2))  # L1 sparsity
