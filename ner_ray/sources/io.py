@@ -50,6 +50,42 @@ def write_graph(ds, path: str) -> None:
         ds.write_parquet(path)
 
 
+def read_docs_jsonl(path: str):
+    """Interleaved docs from JSON-lines — the shape web-scale text
+    corpora usually arrive in. Each line is one document object:
+
+        {"doc_id": "...", "spans": [{"kind": "text", "text": "...",
+                                     "media_ref": "", "offset": 0}, ...]}
+
+    Missing span fields are filled with typed defaults and the spans
+    column is CAST to the pinned DOCS schema, so downstream stages see
+    exactly the same Arrow layout as the Parquet/Lance readers (the
+    span-sequence invariant applies from the first batch). Distributed:
+    Ray's JSON datasource splits files into blocks like any other read."""
+    import ray.data as rd
+
+    def coerce(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out = {"doc_id": [], "spans": []}
+        for r in rows:
+            out["doc_id"].append(str(r["doc_id"]))
+            spans = []
+            for s in r.get("spans") or []:
+                spans.append({
+                    "kind": str(s.get("kind", "text")),
+                    "text": str(s.get("text") or ""),
+                    "media_ref": str(s.get("media_ref") or ""),
+                    "offset": int(s.get("offset") or 0),
+                })
+            out["spans"].append(spans)
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"], pa.string()),
+             "spans": pa.array(out["spans"],
+                               S.DOCUMENTS.field("spans").type)})
+
+    return rd.read_json(path).map_batches(coerce, batch_format="pyarrow")
+
+
 class ToInterleaved:
     """Driver documents -> interleaved docs (3 spans: original text,
     injected mention-bearing text, media ref). Stateless + vectorized;
