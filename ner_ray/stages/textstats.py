@@ -123,6 +123,80 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def winnow_fingerprint_batch(batch: pa.Table, k: int = 3,
+                             w: int = 4) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the rolling-hash selection scheme): hash every
+    k-word shingle, slide a window of ``w`` consecutive shingle hashes
+    within each doc, keep the window minimum. Any shared run of at
+    least w+k-1 words between two docs is GUARANTEED to share a
+    fingerprint — the local-dedup/plagiarism primitive.
+
+    Emits one row per selected fingerprint (doc_id, fp) — the shape a
+    fingerprint-dedup joins or groupbys on; docs too short for a full
+    window contribute their shingle-set minima (or nothing when they
+    have no shingles). Fully vectorized: sliding_window_view over the
+    flat hash stream, windows crossing doc boundaries masked out."""
+    texts = batch.column("text").to_pandas()
+    ids = batch.column("doc_id")
+    from ner_ray.stages.neardup import _shingle_hashes
+
+    row, h = _shingle_hashes(texts, k)
+    out_row = np.array([], dtype=np.int64)
+    out_fp = np.array([], dtype=np.uint64)
+    if len(h):
+        if len(h) >= w:
+            sw = np.lib.stride_tricks.sliding_window_view(h, w)
+            starts = np.arange(len(sw))
+            inside = row[starts] == row[starts + w - 1]
+            out_row = row[starts][inside]
+            out_fp = sw.min(axis=1)[inside]
+        # short docs (fewer than w shingles) keep their global min
+        counts = np.bincount(row, minlength=len(texts))
+        short = np.flatnonzero((counts > 0) & (counts < w))
+        if len(short):
+            df = pd.DataFrame({"row": row, "h": h})
+            m = df[df["row"].isin(short)].groupby("row")["h"].min()
+            out_row = np.concatenate([out_row, m.index.to_numpy()])
+            out_fp = np.concatenate([out_fp, m.to_numpy()])
+    dedup = pd.DataFrame({"i": out_row, "fp": out_fp}).drop_duplicates()
+    id_np = ids.to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": pa.array(id_np[dedup["i"].to_numpy()]
+                           if len(dedup) else id_np[:0]),
+        "fp": pa.array(dedup["fp"].to_numpy().view(np.int64)
+                       if len(dedup) else
+                       np.array([], dtype=np.int64)),
+    })
+
+
+def winnow_dup_candidates(docs_ds, k: int = 3, w: int = 4,
+                          min_shared: int = 2):
+    """Fingerprint-based near-dup candidates: docs sharing at least
+    ``min_shared`` winnowing fingerprints. Shuffles only (fp, doc_id)
+    rows — the same banded-candidate shape as MinHash-LSH, but with
+    the winnowing guarantee on long shared runs."""
+    rows = docs_ds.map_batches(
+        lambda t: winnow_fingerprint_batch(t, k, w),
+        batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+
+    pairs = rows.groupby("fp").map_groups(bucket_pairs,
+                                          batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_shared"))
+    # expression filter: vectorized Arrow compute, not a per-row lambda
+    return counted.filter(expr=f"n_shared >= {int(min_shared)}")
+
+
 class TextStatsStage:
     """Fused per-doc text statistics — whitespace token count, BPE-ish
     token count, digit-normalized text, and quality metrics in ONE pass
