@@ -83,6 +83,60 @@ def test_match_extraction_template_parses_and_scores():
     assert vals.tolist() == ["a", "", "c"]  # first lowercase letter
 
 
+def test_render_parse_roundtrip_property():
+    """Property: render -> parse is the identity on arbitrary valid
+    PatternSets (hypothesis over families, offsets, tests)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ner_ray.functions.patterns import (
+        PATTERN_COLUMNS,
+        PatternSet,
+        RegexTest,
+    )
+
+    cols = st.sampled_from([c for c in PATTERN_COLUMNS if c != "gaz"])
+    offsets = st.lists(st.integers(-3, 3), min_size=1, max_size=5,
+                       unique=True).map(lambda o: tuple(sorted(o)))
+    fam_dict = st.dictionaries(cols, offsets, min_size=0, max_size=6)
+    safe_regex = st.text(alphabet="abcxyz01[]^$+*", min_size=1,
+                         max_size=8).filter(_compilable)
+    tests = st.lists(
+        st.builds(RegexTest,
+                  template_id=st.sampled_from(["t0", "t1", "m0", "m7"]),
+                  offset=st.integers(-2, 2),
+                  column=cols,
+                  regex=safe_regex,
+                  extract=st.booleans()),
+        max_size=3,
+        unique_by=lambda t: t.template_id)
+    # %t ids must start with t, %m ids with m (parse normalizes)
+    tests = tests.map(lambda ts: tuple(
+        RegexTest(("m" if t.extract else "t") + t.template_id[1:],
+                  t.offset, t.column, t.regex, t.extract) for t in ts))
+
+    @settings(max_examples=60, deadline=None)
+    @given(fams=fam_dict, ts=tests, bigram=st.booleans())
+    def prop(fams, ts, bigram):
+        ps = PatternSet(families=fams, tests=ts, has_bigram=bigram)
+        back = parse_pattern_file(ps.render())
+        assert back.families == ps.families
+        assert back.tests == ps.tests
+        assert back.has_bigram == ps.has_bigram
+
+    prop()
+
+
+def _compilable(r: str) -> bool:
+    import re
+
+    try:
+        re.compile(r)
+        return True
+    except re.error:
+        return False
+
+
 def test_bad_lines_raise():
     with pytest.raises(ValueError):
         parse_pattern_file("U00:%x[0,nosuchcol]")
