@@ -73,6 +73,9 @@ def main() -> None:
 
         qtbl = pq.read_table(args.embeddings).filter(
             pc.equal(pc.field("vec_id"), args.query_id))
+        if qtbl.num_rows == 0:
+            sys.exit(f"query id {args.query_id} not found in "
+                     f"{args.embeddings}")
         q = _to_matrix(qtbl.column("embedding"))[0]
         if args.method == "ivf":
             from ner_ray.stages.ivf import ivf_ann_topk

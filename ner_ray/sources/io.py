@@ -72,7 +72,7 @@ def read_docs_jsonl(path: str):
             spans = []
             for s in r.get("spans") or []:
                 spans.append({
-                    "kind": str(s.get("kind", "text")),
+                    "kind": str(s.get("kind") or "text"),
                     "text": str(s.get("text") or ""),
                     "media_ref": str(s.get("media_ref") or ""),
                     "offset": int(s.get("offset") or 0),

@@ -37,14 +37,22 @@ CENTROIDS_FILE = "_centroids.parquet"
 
 
 def _init_centroids(ds, k: int, id_col: str, emb_col: str) -> np.ndarray:
-    """Deterministic init: the k rows whose stable id-hash is smallest
-    (a distributed top-k on the hash — order-free, seed-stable)."""
-    def tag(t: pa.Table) -> pa.Table:
-        h = hash_column(pa.compute.cast(t.column(id_col), pa.string()))
-        return pa.table({"h": pa.array(h.view(np.int64)),
-                         emb_col: t.column(emb_col)})
+    """Deterministic init: the k rows whose stable id-hash is smallest.
+    Per-batch LOCAL bottom-k first, so the global sort sees only ~k
+    candidate rows per block instead of range-shuffling the whole
+    embedding table (the repo's local-top-k-then-tiny-sort rule)."""
+    def local_bottom_k(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             emb_col: t.column(emb_col)})
+        h = hash_column(pa.compute.cast(t.column(id_col), pa.string())) \
+            .view(np.int64)
+        kk = min(k, len(t))
+        idx = np.argpartition(h, kk - 1)[:kk]
+        return pa.table({"h": pa.array(h[idx]),
+                         emb_col: t.column(emb_col).take(pa.array(idx))})
 
-    top = ds.map_batches(tag, batch_format="pyarrow") \
+    top = ds.map_batches(local_bottom_k, batch_format="pyarrow") \
         .sort("h").limit(k).to_pandas()
     m = np.stack([np.asarray(v, dtype=np.float64) for v in top[emb_col]])
     return _normalize(m)
@@ -66,6 +74,14 @@ def kmeans_fit(ds, k: int = 16, iters: int = 8,
 
         def partial(t: pa.Table) -> pa.Table:
             c = ray.get(cref)
+            if len(t) == 0:
+                return pa.table({
+                    "sums": pa.array([np.zeros(c.size).tolist()],
+                                     pa.list_(pa.float64())),
+                    "counts": pa.array(
+                        [np.zeros(len(c), dtype=np.int64)],
+                        pa.list_(pa.int64())),
+                })
             m = _normalize(_to_matrix(t.column(emb_col)))
             assign = (m @ c.T).argmax(axis=1)
             sums = np.zeros_like(c)
@@ -123,9 +139,10 @@ def build_ivf_index(ds, out_dir: str, centroids: np.ndarray,
 def ivf_ann_topk(index_dir: str, query_vec: np.ndarray, k: int = 10,
                  nprobe: int = 4, id_col: str = "vec_id",
                  emb_col: str = "embedding"):
-    """Pruned IVF search: read only the nprobe nearest inverted lists.
+    """Pruned IVF search: read only the nprobe nearest inverted lists
+    via the shared pruned-read helper (similarity._pruned_topk).
     Returns (Dataset[(id, sim)], read_fraction)."""
-    import ray.data as rd
+    from ner_ray.stages.similarity import _pruned_topk
 
     cents = np.stack([
         np.asarray(v, dtype=np.float64)
@@ -134,33 +151,5 @@ def ivf_ann_topk(index_dir: str, query_vec: np.ndarray, k: int = 10,
     q = _normalize(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))
     order = np.argsort(-(q @ cents.T)[0])
     probe = set(int(i) for i in order[:nprobe])
-
-    all_dirs = [d for d in os.listdir(index_dir)
-                if d.startswith("ivf_list=")]
-    n_all = sum(len(os.listdir(os.path.join(index_dir, d)))
-                for d in all_dirs) or 1
-    picked = [
-        os.path.join(index_dir, d, f)
-        for d in all_dirs if int(d.split("=", 1)[1]) in probe
-        for f in os.listdir(os.path.join(index_dir, d))
-    ]
-    if not picked:
-        return rd.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "sim": pa.array([], pa.float64())})), 0.0
-    ds = rd.read_parquet(picked, columns=[id_col, emb_col])
-    qv = q[0]
-
-    def score(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        m = _normalize(_to_matrix(t.column(emb_col)))
-        return pa.table({
-            id_col: t.column(id_col),
-            "sim": pa.array(np.round(m @ qv, 6), pa.float64()),
-        })
-
-    scored = ds.map_batches(score, batch_format="pyarrow")
-    top = scored.sort(["sim", id_col], descending=[True, False]).limit(k)
-    return top, len(picked) / n_all
+    return _pruned_topk(index_dir, "ivf_list", probe, q[0], k,
+                        id_col, emb_col)

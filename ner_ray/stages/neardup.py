@@ -105,7 +105,9 @@ def minhash_band_rows(batch: pa.Table, text_col: str = "text",
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     ids = np.sort(g["doc_id"].unique())
     if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
+        # empty frame MUST keep the id dtype: a bare [] would be
+        # float64 and force schema unification against int64 groups
+        return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
     i, j = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
 

@@ -307,6 +307,48 @@ def _planes_for(d: int, seed: int, n_planes: int = N_PLANES) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, d))
 
 
+def _pruned_topk(index_dir: str, prefix: str, probe_keys: set,
+                 q_unit: np.ndarray, k: int, id_col: str, emb_col: str):
+    """Shared partition-pruned exact-cosine top-k over a
+    ``<prefix>=<key>`` partitioned index (used by both the LSH and IVF
+    indexes): list the partition dirs, read ONLY the probed keys'
+    files, score, sort desc with id tie-break, limit k. Returns
+    (Dataset, read_fraction = files read / files in the index)."""
+    import os
+
+    import ray.data as rd
+
+    all_dirs = [d for d in os.listdir(index_dir)
+                if d.startswith(prefix + "=")]
+    n_all = sum(len(os.listdir(os.path.join(index_dir, d)))
+                for d in all_dirs) or 1
+    picked = [
+        os.path.join(index_dir, d, f)
+        for d in all_dirs if int(d.split("=", 1)[1]) in probe_keys
+        for f in os.listdir(os.path.join(index_dir, d))
+    ]
+    if not picked:
+        empty = rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64())}))
+        return empty, 0.0
+    ds = rd.read_parquet(picked, columns=[id_col, emb_col])
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        m = _normalize(_to_matrix(t.column(emb_col)))
+        return pa.table({
+            id_col: t.column(id_col),
+            "sim": pa.array(np.round(m @ q_unit, 6), pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    top = scored.sort(["sim", id_col], descending=[True, False]).limit(k)
+    return top, len(picked) / n_all
+
+
 def build_lsh_index(embeddings_ds, out_dir: str, seed: int = 42,
                     id_col: str = "vec_id", emb_col: str = "embedding"):
     """Write the embedding table PARTITIONED BY LSH BUCKET (one
@@ -339,42 +381,9 @@ def lsh_ann_topk_indexed(index_dir: str, query_vec: np.ndarray,
     results are identical — but the read is pruned at the filesystem,
     not post-scan. Returns (Dataset, read_fraction) where
     read_fraction = files read / files in the index."""
-    import os
-
-    import ray.data as rd
-
     q = _normalize(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))
     planes = _planes_for(q.shape[1], seed)
     qb = int(_lsh_buckets(q, planes)[0])
     near = {qb} | {qb ^ (1 << b) for b in range(N_PLANES)}
-
-    all_dirs = [d for d in os.listdir(index_dir) if d.startswith("bucket=")]
-    n_all = sum(len(os.listdir(os.path.join(index_dir, d)))
-                for d in all_dirs) or 1
-    picked_files = [
-        os.path.join(index_dir, d, f)
-        for d in all_dirs if int(d.split("=", 1)[1]) in near
-        for f in os.listdir(os.path.join(index_dir, d))
-    ]
-    if not picked_files:
-        empty = rd.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "sim": pa.array([], pa.float64())}))
-        return empty, 0.0
-    n_read = len(picked_files)
-    ds = rd.read_parquet(picked_files, columns=[id_col, emb_col])
-    qref = q[0]
-
-    def score(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        m = _normalize(_to_matrix(t.column(emb_col)))
-        return pa.table({
-            id_col: t.column(id_col),
-            "sim": pa.array(np.round(m @ qref, 6), pa.float64()),
-        })
-
-    scored = ds.map_batches(score, batch_format="pyarrow")
-    top = scored.sort(["sim", id_col], descending=[True, False]).limit(k)
-    return top, n_read / n_all
+    return _pruned_topk(index_dir, "bucket", near, q[0], k,
+                        id_col, emb_col)

@@ -176,18 +176,12 @@ def winnow_dup_candidates(docs_ds, k: int = 3, w: int = 4,
     ``min_shared`` winnowing fingerprints. Shuffles only (fp, doc_id)
     rows — the same banded-candidate shape as MinHash-LSH, but with
     the winnowing guarantee on long shared runs."""
+    from ner_ray.stages.neardup import _bucket_pairs
+
     rows = docs_ds.map_batches(
         lambda t: winnow_fingerprint_batch(t, k, w),
         batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
-
-    pairs = rows.groupby("fp").map_groups(bucket_pairs,
+    pairs = rows.groupby("fp").map_groups(_bucket_pairs,
                                           batch_format="pandas")
     from ray.data.aggregate import Count
 

@@ -669,14 +669,24 @@ def train_owlqn(seq_ds, alias_types: dict[str, str], iters: int = 25,
         if not d.any():
             d = -pg
         xi = np.where(x != 0, np.sign(x), np.sign(-pg))
+        # first trial (usually accepted) evaluates the full gradient so
+        # acceptance needs no second distributed pass (same trick as
+        # train_lbfgs); later halvings are value-only
         step, accepted = (1.0 if Y else 1.0 / max(np.linalg.norm(pg), 1.0)), \
             False
+        g_new_struct = None
         for _ls in range(20):
             x_new = x + step * d
             x_new[x_new * xi < 0] = 0.0   # orthant projection
             w_new = _unpack(x_new, value_ids)
-            f_new = _objective_value(feat_ds, w_new, l2, batch_size,
-                                     concurrency) + l1_of(x_new)
+            if _ls == 0:
+                f_s_new, g_new_struct = _objective(feat_ds, w_new, l2,
+                                                   batch_size, concurrency)
+                f_new = f_s_new + l1_of(x_new)
+            else:
+                f_new = _objective_value(feat_ds, w_new, l2, batch_size,
+                                         concurrency) + l1_of(x_new)
+                g_new_struct = None
             # Armijo with the projected step's directional derivative
             if f_new <= f + 1e-4 * float(pg.dot(x_new - x)):
                 accepted = True
@@ -684,8 +694,9 @@ def train_owlqn(seq_ds, alias_types: dict[str, str], iters: int = 25,
             step *= 0.5
         if not accepted:
             break
-        _f_chk, g_new_struct = _objective(feat_ds, w_new, l2,
-                                          batch_size, concurrency)
+        if g_new_struct is None:   # accepted on a value-only trial
+            _f_chk, g_new_struct = _objective(feat_ds, w_new, l2,
+                                              batch_size, concurrency)
         g_new = _pack(g_new_struct)
         s_vec, y_vec = x_new - x, g_new - g   # smooth gradients only
         sy = float(s_vec.dot(y_vec))

@@ -26,6 +26,24 @@ def jsonl_path(tmp_path):
     return str(p)
 
 
+def test_jsonl_missing_kind_defaults_to_text(ray_session, tmp_path):
+    """Arrow's JSON schema unification fills absent struct fields with
+    null once ANY line carries the field — the default must treat that
+    null as kind='text', not the string 'None' (regression)."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": "a", "spans": [{"kind": "image", "text": "", '
+        '"media_ref": "m", "offset": 0}]}\n'
+        '{"doc_id": "b", "spans": [{"text": "hello world"}]}\n')
+    from ner_ray.sources.io import read_docs_jsonl
+    from ner_ray.stages.spans import flatten_text_spans
+
+    ds = read_docs_jsonl(str(p))
+    flat = ds.map_batches(flatten_text_spans,
+                          batch_format="pyarrow").to_pandas()
+    assert flat["doc_id"].tolist() == ["b"]  # b's span is kind text
+
+
 def test_jsonl_roundtrip_schema_and_flatten(ray_session, jsonl_path):
     from ner_ray.sources.io import read_docs_jsonl
     from ner_ray.stages.spans import flatten_text_spans

@@ -59,15 +59,7 @@ def test_regex_test_template_parses():
 def test_match_extraction_template_parses_and_scores():
     """%m: the matched substring becomes the feature value; it fires
     when the model carries a matching <id>:<off>:<substr> row."""
-    import tempfile
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ner_ray import schema as S
-    from ner_ray.fixtures.gen import ensure_fixtures
     from ner_ray.stages.tagger import _family_values
-    from ner_ray.state.model import GAZ_VALUES, ModelBundle
 
     ps = parse_pattern_file('Um0:%m[0,low,"([a-z])"]\nB\n')
     t = ps.tests[0]
