@@ -240,6 +240,11 @@ def range_join(ds, intervals: pd.DataFrame, ts_col: str,
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             n = len(batch)
+            dup = set(batch.columns) & set(self.iv.columns)
+            if dup:
+                raise ValueError(
+                    f"range_join column collision {sorted(dup)}: rename "
+                    f"the interval columns before joining")
             empty = pd.concat(
                 [batch.iloc[:0].reset_index(drop=True),
                  self.iv.iloc[:0].reset_index(drop=True)], axis=1)

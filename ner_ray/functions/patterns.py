@@ -104,8 +104,12 @@ def _resolve_column(col: str) -> str:
 
 
 def parse_pattern_file(text: str) -> PatternSet:
-    """Parse Wapiti-style U/B pattern lines. Unsupported constructs
-    (multi-%x concatenation, %m) raise with the offending line."""
+    """Parse Wapiti-style U/B pattern lines (%x observations, %t regex
+    tests, %m match extraction). Unsupported constructs (multi-%x
+    concatenation, per-value bigram templates) and invalid inputs
+    (bad columns, duplicate template ids, regexes that cannot score)
+    raise with the offending line — everything that would otherwise
+    crash an actor mid-pipeline fails HERE, at parse time."""
     families: dict[str, set[int]] = {}
     tests: list[RegexTest] = []
     has_bigram = False
@@ -135,14 +139,35 @@ def parse_pattern_file(text: str) -> PatternSet:
         for pat, extract, prefix in ((_T_RE, False, "t"), (_M_RE, True, "m")):
             m = pat.match(expr)
             if m:
-                re.compile(m.group(3))  # fail fast on a bad regex
-                tests.append(RegexTest(
+                compiled = re.compile(m.group(3))  # fail fast: bad regex
+                if extract and not compiled.groups:
+                    # scoring wraps a groupless %m regex as (re); fail
+                    # here, not in the actor (e.g. leading inline flags)
+                    try:
+                        re.compile(f"({m.group(3)})")
+                    except re.error as ex:
+                        raise ValueError(
+                            f"line {lineno}: %m regex cannot be group-"
+                            f"wrapped for extraction: {ex}") from ex
+                col = _resolve_column(m.group(2))
+                if col == "gaz":
+                    raise ValueError(
+                        f"line {lineno}: %t/%m cannot test the gaz "
+                        f"column (gazetteer flags are structural, not "
+                        f"a token-derived value)")
+                new = RegexTest(
                     template_id=tid if tid.startswith(prefix)
                     else f"{prefix}{tid}",
                     offset=int(m.group(1)),
-                    column=_resolve_column(m.group(2)),
+                    column=col,
                     regex=m.group(3),
-                    extract=extract))
+                    extract=extract)
+                if any(t.template_id == new.template_id for t in tests):
+                    raise ValueError(
+                        f"line {lineno}: duplicate template id "
+                        f"{new.template_id!r} (each %t/%m needs its own "
+                        f"id — the id names the feature family)")
+                tests.append(new)
                 break
         else:
             raise ValueError(f"line {lineno}: unsupported template "

@@ -83,8 +83,16 @@ def raw_triples(linked_ds):
 def build_graph(docs_ds, model_path: str, alias_path: str, *,
                 tagger_concurrency=(1, 8), batch_size: int = 2048,
                 n_salts: int = 4):
-    """Compose the full lazy pipeline. Returns a dict of Datasets /
-    tables; nothing is executed until a sink/aggregate consumes it."""
+    """Compose the pipeline. Returns a dict of Datasets / tables.
+
+    The doc-processing chain (tagged/linked/triples/deduped/resolved/
+    adjacency) stays LAZY — nothing touches the corpus until a sink or
+    aggregate consumes it. The one eager step is the canonicalization
+    dispatch: the (small) alias table is read and counted at
+    construction to pick the local-union-find vs distributed-labelprop
+    path (canon.canonicalize_and_resolve), and on the small path the
+    union-find runs immediately — that cost scales with the alias
+    table, never the corpus."""
     import ray.data as rd
 
     bundle_ref = put_bundle(model_path, alias_path)

@@ -25,7 +25,8 @@ class AnnotateDocsActor(TaggerActor):
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans = flatten_text_spans(batch, with_row_index=True)
         mentions = tag_spans(spans.column("text"), self.b,
-                             self._gaz_row, cache=self._cache)
+                             self._gaz_row, cache=self._cache,
+                             pats=self.pats)
         counts = np.diff(mentions.offsets.to_numpy(zero_copy_only=False))
         flat = mentions.flatten()
         span_idx = np.repeat(

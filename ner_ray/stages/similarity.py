@@ -118,8 +118,11 @@ def cosine_dup_pairs(embeddings_ds, threshold: float = 0.99,
     bucketed path runs — fully distributed, approximate (recall is a
     function of threshold and band geometry; measured >= 0.95 at
     threshold 0.9 in tests)."""
+    if force_lsh:  # no materialize/count when the answer is forced
+        return cosine_dup_pairs_lsh(embeddings_ds, threshold,
+                                    id_col=id_col, emb_col=emb_col)
     ds = embeddings_ds.materialize()  # count + consume = one execution
-    if force_lsh or ds.count() > max_exact_rows:
+    if ds.count() > max_exact_rows:
         return cosine_dup_pairs_lsh(ds, threshold, id_col=id_col,
                                     emb_col=emb_col)
     return cosine_dup_pairs_exact(ds, threshold, id_col=id_col,

@@ -115,8 +115,15 @@ class ModelBundle:
             fam: {} for fam in fams
         }
         for fam, off, value, li, w in parsed:
+            pos = offset_pos[fam].get(off)
+            if pos is None:
+                raise ValueError(
+                    f"model row {fam}:{off}:{value} uses offset {off} "
+                    f"not declared in family {fam!r}'s layout "
+                    f"{tuple(offset_pos[fam])} — the pattern block is "
+                    f"narrower than the trained model")
             cell = sparse[fam].setdefault(value, {})
-            cell[(offset_pos[fam][off], li)] = w
+            cell[(pos, li)] = w
 
         weights: dict[str, np.ndarray] = {}
         value_ids: dict[str, dict[str, int]] = {}

@@ -102,10 +102,17 @@ def test_render_parse_roundtrip_property():
                   extract=st.booleans()),
         max_size=3,
         unique_by=lambda t: t.template_id)
-    # %t ids must start with t, %m ids with m (parse normalizes)
-    tests = tests.map(lambda ts: tuple(
-        RegexTest(("m" if t.extract else "t") + t.template_id[1:],
-                  t.offset, t.column, t.regex, t.extract) for t in ts))
+    # %t ids must start with t, %m ids with m (parse normalizes), and
+    # ids must be unique AFTER normalization (the parser rejects dups)
+    def normalize(ts):
+        seen = {}
+        for t in ts:
+            tid = ("m" if t.extract else "t") + t.template_id[1:]
+            seen.setdefault(tid, RegexTest(tid, t.offset, t.column,
+                                           t.regex, t.extract))
+        return tuple(seen.values())
+
+    tests = tests.map(normalize)
 
     @settings(max_examples=60, deadline=None)
     @given(fams=fam_dict, ts=tests, bigram=st.booleans())
@@ -136,6 +143,38 @@ def test_bad_lines_raise():
         parse_pattern_file("B00:%x[0,low]")  # bigram observations
     with pytest.raises(ValueError):
         parse_pattern_file("U00:%x[0,low]%x[1,low]")  # concatenation
+    with pytest.raises(ValueError, match="duplicate template id"):
+        parse_pattern_file('Ut0:%t[0,low,"^a"]\nUt0:%t[-1,low,"^b"]\n')
+    with pytest.raises(ValueError, match="gaz"):
+        parse_pattern_file('Ut0:%t[0,gaz,"^B-"]\n')
+    with pytest.raises(ValueError, match="group-wrapped"):
+        parse_pattern_file('Um0:%m[0,low,"(?i)abc"]\n')
+
+
+def test_annotate_actor_honors_patterns(ray_session, tiny_dir):
+    """Regression: AnnotateDocsActor must thread the pattern set into
+    tag_spans (it used to build the cache with the restricted set but
+    score with the model's full layout — silently wrong output)."""
+    import ray.data as rd
+
+    from ner_ray.stages.annotate import AnnotateDocsActor
+    from ner_ray.state.model import put_bundle
+
+    pats_text = "Ulow+0:%x[0,low]\nB\n"
+    bundle = put_bundle(f"{tiny_dir}/model.parquet",
+                        f"{tiny_dir}/alias.parquet")
+    docs = rd.read_parquet(f"{tiny_dir}/docs.parquet").limit(100)
+    n_restricted = docs.map_batches(
+        AnnotateDocsActor,
+        fn_constructor_kwargs={"bundle": bundle, "patterns": pats_text},
+        batch_format="pyarrow", concurrency=1, num_cpus=1,
+    ).sum("n_mentions")
+    n_full = docs.map_batches(
+        AnnotateDocsActor, fn_constructor_kwargs={"bundle": bundle},
+        batch_format="pyarrow", concurrency=1, num_cpus=1,
+    ).sum("n_mentions")
+    # the restricted pattern set must actually change doc-level output
+    assert n_restricted != n_full, (n_restricted, n_full)
 
 
 @pytest.fixture(scope="module")
