@@ -327,7 +327,9 @@ def sequence_nll_gradient(ids: dict[str, np.ndarray], gold: np.ndarray,
         g_trans = np.zeros((N_LABELS, N_LABELS))
         g_start_arr = np.zeros(N_LABELS)
     for fam, M in ids.items():
-        G = gw[fam]
+        G = gw.get(fam)
+        if G is None:
+            continue  # block-restricted accumulators (BCD): skip
         for oi in range(M.shape[1]):
             cols = np.full(T, oi)
             np.add.at(G, (M[:, oi], cols), post)            # expected
@@ -606,6 +608,99 @@ def train_lbfgs(seq_ds, alias_types: dict[str, str], iters: int = 25,
     w_final = _unpack(x, value_ids)
     _clamp_pad_rows(w_final)      # no-op by construction; belt+braces
     return w_final, history
+
+
+class BlockGradWorker:
+    """map_batches worker for BLOCK-restricted gradients (BCD): the
+    forward-backward still sees all weights (emissions need them), but
+    only the active block's gradient is accumulated and shipped — the
+    per-pass reduce payload is ONE family tensor, not the full model.
+    ``block`` is a feature-family name or "_transstart"."""
+
+    def __init__(self, weights_ref, block: str):
+        import ray
+
+        self.w: TrainWeights = ray.get(weights_ref) \
+            if not isinstance(weights_ref, TrainWeights) else weights_ref
+        self.block = block
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fam_acc = {} if self.block == "_transstart" else \
+            {self.block: np.zeros_like(self.w.weights[self.block])}
+        acc_t = np.zeros((N_LABELS, N_LABELS))
+        acc_s = np.zeros(N_LABELS)
+        nll_sum, n_seq = 0.0, 0
+        for ids, gold in _rows_from_featurized(batch):
+            n_seq += 1
+            nll, _gw, _gt, _gs = sequence_nll_gradient(
+                ids, gold, self.w, out=(fam_acc, acc_t, acc_s))
+            nll_sum += nll
+        payload: dict = {"nll": pa.array([nll_sum], pa.float64()),
+                         "n_seq": pa.array([n_seq], pa.int64())}
+        if self.block == "_transstart":
+            payload["g_trans"] = pa.array([acc_t.tobytes()], pa.binary())
+            payload["g_start"] = pa.array([acc_s.tobytes()], pa.binary())
+        else:
+            payload["g_block"] = pa.array(
+                [fam_acc[self.block].tobytes()], pa.binary())
+        return pa.table(payload)
+
+
+def train_bcd(seq_ds, alias_types: dict[str, str], passes: int = 3,
+              lr: float = 0.5, l2: float = 1e-4, batch_size: int = 256,
+              concurrency=(1, 8)):
+    """Block coordinate descent — the reference's larger-than-RAM
+    training regime (cf. Wapiti src/bcd.c; Lavergne, Cappe & Yvon,
+    ACL 2010, reconstructed): each step updates ONE feature-family
+    block with the others frozen, so the distributed reduce ships one
+    family tensor per step instead of the whole model (the memory win
+    that lets |model| exceed a worker's heap — only emissions need the
+    full weights, and those arrive by zero-copy broadcast).
+
+    One pass = one gradient step per block (families + the
+    trans/start block), cycled in a fixed order. Returns
+    (TrainWeights, history) with one mean-NLL entry per pass —
+    monotone on the fixture (asserted in tests)."""
+    import ray
+
+    value_ids = build_feature_space(seq_ds)
+    w = TrainWeights.zeros(value_ids)
+    feat_ds = featurize(seq_ds, value_ids, alias_types)
+    blocks = list(FEATURE_FAMILIES) + ["_transstart"]
+    history = []
+    for p in range(passes):
+        pass_nll = None
+        for block in blocks:
+            w_ref = ray.put(w)
+            parts = feat_ds.map_batches(
+                BlockGradWorker,
+                fn_constructor_kwargs={"weights_ref": w_ref,
+                                       "block": block},
+                batch_format="pyarrow", batch_size=batch_size,
+                concurrency=concurrency, num_cpus=1,
+            ).to_pandas()
+            n = max(int(parts["n_seq"].sum()), 1)
+            pass_nll = float(parts["nll"].sum()) / n
+            if block == "_transstart":
+                gt = np.zeros_like(w.trans)
+                for buf in parts["g_trans"]:
+                    gt += np.frombuffer(buf, np.float64) \
+                        .reshape(w.trans.shape)
+                w.trans -= lr * (gt / n + l2 * w.trans)
+                gs = np.zeros(N_LABELS)
+                for buf in parts["g_start"]:
+                    gs += np.frombuffer(buf, np.float64)
+                w.start -= lr * (gs / n + l2 * w.start)
+            else:
+                shape = w.weights[block].shape
+                g = np.zeros(shape)
+                for buf in parts["g_block"]:
+                    g += np.frombuffer(buf, np.float64).reshape(shape)
+                w.weights[block] -= lr * (g / n + l2 * w.weights[block])
+                w.weights[block][0] = 0.0  # pad row stays frozen
+        history.append({"pass": p, "mean_nll": round(pass_nll, 6)})
+    _clamp_pad_rows(w)
+    return w, history
 
 
 def train_owlqn(seq_ds, alias_types: dict[str, str], iters: int = 25,

@@ -108,3 +108,26 @@ def test_owlqn_l1_is_monotone_and_sparser(ray_session, tiny_dir):
     w_l2, _ = train_lbfgs(seq_ds, alias_types, iters=10,
                           batch_size=64, concurrency=(1, 2))
     assert _nnz(w_l1) < _nnz(w_l2), (_nnz(w_l1), _nnz(w_l2))  # L1 sparsity
+
+
+@pytest.mark.slow
+def test_bcd_reduces_nll_blockwise(ray_session, tiny_dir):
+    import ray.data as rd
+
+    from ner_ray.stages.train import train_bcd
+    from tests.test_train import _training_table
+
+    rows = _training_table(tiny_dir)[:120]
+    alias_tbl = pq.read_table(f"{tiny_dir}/alias.parquet")
+    alias_types = dict(zip(alias_tbl.column("alias").to_pylist(),
+                           alias_tbl.column("ne_type").to_pylist()))
+    seq_ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"tokens": r["tokens"], "tags": r["tags"]} for r in rows]))
+    w, history = train_bcd(seq_ds, alias_types, passes=3, lr=0.5,
+                           batch_size=64, concurrency=(1, 2))
+    nlls = [h["mean_nll"] for h in history]
+    assert len(nlls) == 3
+    assert nlls[-1] < nlls[0], nlls         # block updates make progress
+    assert all(b <= a + 1e-9 for a, b in zip(nlls, nlls[1:])), nlls
+    for fam in w.weights:
+        assert (w.weights[fam][0] == 0).all()  # pad rows stay frozen
