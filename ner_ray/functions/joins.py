@@ -227,16 +227,23 @@ def range_join(ds, intervals: pd.DataFrame, ts_col: str,
 
     iv = intervals.sort_values(start_col, kind="stable") \
         .reset_index(drop=True)
-    starts = iv[start_col].to_numpy()
-    ends = iv[end_col].to_numpy()
+
+    def _signed(a: np.ndarray) -> np.ndarray:
+        # unsigned ints would wrap on `ts - max_len` (lo > hi =>
+        # negative counts); widen to int64 for the search arithmetic
+        return a.astype(np.int64) if a.dtype.kind == "u" else a
+
+    starts = _signed(iv[start_col].to_numpy())
+    ends = _signed(iv[end_col].to_numpy())
     if (ends < starts).any():
         raise ValueError("interval end < start")
     max_len = (ends - starts).max() if len(iv) else 0
-    ref = ray.put((iv, starts, ends, max_len))
+    ref = ray.put((iv, starts, ends, max_len, _signed))
 
     class _Range:
         def __init__(self):
-            self.iv, self.starts, self.ends, self.max_len = ray.get(ref)
+            (self.iv, self.starts, self.ends, self.max_len,
+             self._signed) = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             n = len(batch)
@@ -250,7 +257,7 @@ def range_join(ds, intervals: pd.DataFrame, ts_col: str,
                  self.iv.iloc[:0].reset_index(drop=True)], axis=1)
             if n == 0 or not len(self.starts):
                 return empty
-            ts = batch[ts_col].to_numpy()
+            ts = self._signed(batch[ts_col].to_numpy())
             lo = np.searchsorted(self.starts, ts - self.max_len, "left")
             hi = np.searchsorted(self.starts, ts, "right")
             cnt = hi - lo

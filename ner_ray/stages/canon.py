@@ -32,7 +32,6 @@ import pyarrow as pa
 
 from ner_ray import schema as S
 from ner_ray.stages.dedup import merge_weights
-from ner_ray.stages.textops import map_to_strings
 
 LOCAL_THRESHOLD = 2_000_000  # edges; above this use the distributed path
 MAX_ROUNDS = 12
@@ -149,7 +148,12 @@ def canonicalize(edges_ds, force_distributed: bool = False):
 
 
 class ResolveStage:
-    """Broadcast canonical-map rewrite of subj/obj (no shuffle)."""
+    """Broadcast canonical-map rewrite of subj/obj (no shuffle).
+
+    Arrow dictionary-encode first: the Python dict lookups run only
+    over the batch's UNIQUE keys, then a zero-copy LUT take scatters
+    the rewritten strings back (the factorize-first rule — same
+    pattern as CandidateStage in link.py)."""
 
     def __init__(self, canon_ref):
         import ray
@@ -159,17 +163,21 @@ class ResolveStage:
             canon = ray.get(canon_ref)
         self.canon = canon
 
+    def _rewrite(self, col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        lut = pa.array([self.canon.get(u, u) for u in uniq], pa.string())
+        return lut.take(enc.indices)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj = pd.Series(batch.column("subj").to_pylist(), dtype=object)
-        obj = pd.Series(batch.column("obj").to_pylist(), dtype=object)
-        new_subj = map_to_strings(subj, self.canon, "")
-        new_obj = map_to_strings(obj, self.canon, "")
-        new_subj = np.where(new_subj == "", subj.to_numpy(), new_subj)
-        new_obj = np.where(new_obj == "", obj.to_numpy(), new_obj)
-        batch = batch.set_column(batch.schema.get_field_index("subj"),
-                                 "subj", pa.array(new_subj, pa.string()))
-        return batch.set_column(batch.schema.get_field_index("obj"),
-                                "obj", pa.array(new_obj, pa.string()))
+        batch = batch.set_column(
+            batch.schema.get_field_index("subj"), "subj",
+            self._rewrite(batch.column("subj")))
+        return batch.set_column(
+            batch.schema.get_field_index("obj"), "obj",
+            self._rewrite(batch.column("obj")))
 
 
 def resolve_triples(deduped_ds, canon_table: pa.Table):

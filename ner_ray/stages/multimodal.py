@@ -184,20 +184,29 @@ class MediaPipelineStage:
         # order (np.repeat over the same flatten); recover per-media
         # counts from the frames table itself — run-length over the
         # (doc_id, span_idx) key — so this stage never re-derives the
-        # sampler's internal frame-count formula
-        fkeys = pd.MultiIndex.from_arrays([
-            frames.column("doc_id").to_pandas(),
-            frames.column("span_idx").to_pandas()])
-        per_media = fkeys.value_counts(sort=False)
-        skeys = pd.MultiIndex.from_arrays([
-            stats.column("doc_id").to_pandas(),
-            stats.column("span_idx").to_pandas()])
-        n_sampled = per_media.reindex(skeys, fill_value=0) \
-            .to_numpy(dtype=np.int64)
-        if int(n_sampled.sum()) != len(frames):
-            raise ValueError(
-                "frame rows do not partition by media span — sampler "
-                "and decoder disagree on the media row set")
+        # sampler's internal frame-count formula. The run-key SEQUENCE
+        # must equal the stats key sequence exactly (the sampler emits
+        # >= 1 frame per media span), so misordered frames can never be
+        # attached to the wrong media span.
+        sd = stats.column("doc_id").to_numpy(zero_copy_only=False)
+        ss = stats.column("span_idx").to_numpy(zero_copy_only=False)
+        fd = frames.column("doc_id").to_numpy(zero_copy_only=False)
+        fs = frames.column("span_idx").to_numpy(zero_copy_only=False)
+        if len(fd) == 0:
+            n_sampled = np.zeros(len(sd), dtype=np.int64)
+        else:
+            new = np.ones(len(fd), dtype=bool)
+            new[1:] = (fd[1:] != fd[:-1]) | (fs[1:] != fs[:-1])
+            starts = np.flatnonzero(new)
+            run_lens = np.diff(np.append(starts, len(fd)))
+            if (len(starts) != len(sd)
+                    or not np.array_equal(fd[starts], sd)
+                    or not np.array_equal(fs[starts], ss)):
+                raise ValueError(
+                    "frame rows are not grouped in stats row order — "
+                    "sampler and decoder disagree on the media row "
+                    "set or its ordering")
+            n_sampled = run_lens.astype(np.int64)
         offsets = pa.array(
             np.concatenate([[0], np.cumsum(n_sampled)]).astype(np.int32),
             pa.int32())

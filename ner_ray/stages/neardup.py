@@ -283,9 +283,12 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
         sh = t.column("simhash").to_numpy(zero_copy_only=False)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         # drop empty texts (simhash 0) — they'd form one degenerate
-        # O(m^2) bucket in every band
-        texts = t.column("text").to_numpy(zero_copy_only=False)
-        nonempty = np.array([bool(x.strip()) for x in texts])
+        # O(m^2) bucket in every band (Arrow kernels, no row loop)
+        import pyarrow.compute as pc
+
+        nonempty = pc.fill_null(
+            pc.not_equal(pc.utf8_trim_whitespace(t.column("text")), ""),
+            False).to_numpy(zero_copy_only=False).astype(bool)
         sh, ids = sh[nonempty], ids[nonempty]
         n = len(sh)
         out_band = np.tile(np.arange(4, dtype=np.int32), n)

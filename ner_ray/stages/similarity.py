@@ -123,6 +123,13 @@ def cosine_dup_pairs(embeddings_ds, threshold: float = 0.99,
                                     id_col=id_col, emb_col=emb_col)
     ds = embeddings_ds.materialize()  # count + consume = one execution
     if ds.count() > max_exact_rows:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cosine_dup_pairs: %d rows > max_exact_rows=%d — dispatching "
+            "to the approximate banded-LSH path (recall ~0.91 at "
+            "threshold 0.9; use cosine_dup_pairs_exact to force exact)",
+            ds.count(), max_exact_rows)
         return cosine_dup_pairs_lsh(ds, threshold, id_col=id_col,
                                     emb_col=emb_col)
     return cosine_dup_pairs_exact(ds, threshold, id_col=id_col,
@@ -198,7 +205,25 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
     design (use more bands for lower thresholds)."""
     from ray.data.aggregate import Max
 
-    def band_rows(batch: pa.Table) -> pa.Table:
+    class _BandRows:
+        """Actor-pool banding stage: the hyperplane matrix is generated
+        ONCE per actor (cached in __init__-style state, keyed by the
+        embedding dim seen in the first batch) instead of per batch —
+        same seeded RNG, so every actor derives identical planes."""
+
+        def __init__(self):
+            self._planes: np.ndarray | None = None
+
+        def _planes_for_dim(self, d: int) -> np.ndarray:
+            if self._planes is None or self._planes.shape[1] != d:
+                self._planes = np.random.default_rng(seed).standard_normal(
+                    (n_bands * planes_per_band, d))
+            return self._planes
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return band_rows(batch, self._planes_for_dim)
+
+    def band_rows(batch: pa.Table, planes_for_dim) -> pa.Table:
         n = len(batch)
         if n == 0:
             return pa.table({"band_id": pa.array([], pa.int32()),
@@ -206,9 +231,7 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
                              id_col: pa.array([], pa.int64()),
                              emb_col: batch.column(emb_col)})
         m = _normalize(_to_matrix(batch.column(emb_col)))
-        rng = np.random.default_rng(seed)  # deterministic per batch
-        planes = rng.standard_normal((n_bands * planes_per_band,
-                                      m.shape[1]))
+        planes = planes_for_dim(m.shape[1])
         signs = (m @ planes.T) > 0  # (n, n_bands*r)
         keys = np.zeros((n, n_bands), dtype=np.int64)
         for b in range(n_bands):
@@ -243,7 +266,8 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
             "sim": pa.array(np.round(sims[i, j], 6), pa.float64()),
         })
 
-    banded = embeddings_ds.map_batches(band_rows, batch_format="pyarrow")
+    banded = embeddings_ds.map_batches(_BandRows, batch_format="pyarrow",
+                                       concurrency=(1, 4), num_cpus=1)
     pairs = banded.groupby(["band_id", "band_key"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(

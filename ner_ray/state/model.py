@@ -192,6 +192,30 @@ def put_bundle(model_path: str, alias_path: str, families=None):
 _TEXT_MAGIC = "#ner_ray_model#1"
 
 
+def _esc(s: str) -> str:
+    """Escape separators in feature/label values: a %m-extracted value
+    can legally contain tab/newline, which would corrupt the
+    line/tab-framed text format."""
+    return (s.replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r"))
+
+
+def _unesc(s: str) -> str:
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            out.append({"\\": "\\", "t": "\t", "n": "\n", "r": "\r"}
+                       .get(nxt, "\\" + nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def export_model_text(model_table, pattern_text: str | None = None) -> str:
     """Sparse model table (+ optional embedded pattern file) -> text."""
     if pattern_text is None:
@@ -206,7 +230,7 @@ def export_model_text(model_table, pattern_text: str | None = None) -> str:
     out += pat_lines
     out.append(f"#features#{len(feats)}")
     for f, l, w in zip(feats, labels, ws):
-        out.append(f"{f}\t{l}\t{float(w).hex()}")
+        out.append(f"{_esc(f)}\t{_esc(l)}\t{float(w).hex()}")
     return "\n".join(out) + "\n"
 
 
@@ -241,8 +265,8 @@ def import_model_text(text: str):
     feats, labels, ws = [], [], []
     for r in rows:
         f, l, w = r.split("\t")
-        feats.append(f)
-        labels.append(l)
+        feats.append(_unesc(f))
+        labels.append(_unesc(l))
         ws.append(float.fromhex(w))
     tbl = pa.table({"feature": feats, "label": labels, "weight": ws},
                    schema=S.CRF_MODEL)
