@@ -290,6 +290,70 @@ def gen_docs(rng: np.random.Generator, n_docs: int, alias_tbl: pa.Table) -> pa.T
     return pa.table({"doc_id": doc_ids, "spans": spans_col}, schema=S.DOCUMENTS)
 
 
+def wav_params_for(media_ref: str) -> dict:
+    """Deterministic WAV parameters for an audio media_ref (derived
+    from the stable hash, NOT the fixture rng stream, so adding blobs
+    does not perturb any previously generated table). Tests assert the
+    real decoder recovers exactly these values from the bytes."""
+    from ner_ray.util.hashing import hash_str
+
+    h = hash_str(media_ref)
+    return {
+        "sample_rate": [8000, 16000, 22050, 44100][h % 4],
+        "channels": 1 + ((h >> 2) % 2),
+        "n_frames": 160 + ((h >> 3) % 1600),
+        "freq_hz": 110.0 * (1 + ((h >> 13) % 8)),
+        "amp": 1000 + ((h >> 17) % 20000),
+    }
+
+
+def wav_bytes_for(media_ref: str) -> bytes:
+    """Render the deterministic sine-tone WAV payload for an audio ref
+    (stdlib wave, 16-bit PCM)."""
+    import io
+    import wave
+
+    p = wav_params_for(media_ref)
+    t = np.arange(p["n_frames"] * p["channels"], dtype=np.float64)
+    samples = (p["amp"] * np.sin(
+        2.0 * np.pi * p["freq_hz"] * t / p["sample_rate"])).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(p["channels"])
+        w.setsampwidth(2)
+        w.setframerate(p["sample_rate"])
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def gen_media_blobs(docs: pa.Table) -> pa.Table:
+    """Media blob sidecar table: one row per non-text span. Audio refs
+    carry REAL WAV bytes (decodable with stdlib wave); image refs carry
+    an opaque hash-seeded payload (no image codec exists here — the
+    real decoder must refuse them, which tests assert)."""
+    from ner_ray.util.hashing import hash_str
+
+    refs: list[str] = []
+    kinds: list[str] = []
+    blobs: list[bytes] = []
+    for spans in docs.column("spans").to_pylist():
+        for sp in spans:
+            if sp["kind"] == "text":
+                continue
+            ref = sp["media_ref"]
+            if sp["kind"] == "audio":
+                blob = wav_bytes_for(ref)
+            else:
+                h = hash_str(ref)
+                n = 64 + (h % 192)
+                blob = np.random.default_rng(h & 0xFFFFFFFF).bytes(n)
+            refs.append(ref)
+            kinds.append(sp["kind"])
+            blobs.append(blob)
+    return pa.table({"media_ref": refs, "kind": kinds,
+                     "media_bytes": blobs}, schema=S.MEDIA_BLOBS)
+
+
 def gen_model(rng: np.random.Generator, alias_tbl: pa.Table) -> pa.Table:
     """FIXTURES.md A3: sparse (feature, label, weight) CRF model.
 
@@ -474,6 +538,8 @@ def ensure_fixtures(size: str = "small", root: str | None = None) -> str:
     pq.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
     pq.write_table(alias_tbl, os.path.join(tmp_dir, "alias.parquet"))
     pq.write_table(model_tbl, os.path.join(tmp_dir, "model.parquet"))
+    pq.write_table(gen_media_blobs(docs),
+                   os.path.join(tmp_dir, "media_blobs.parquet"))
 
     meta: dict = {"size": size, "n_docs": n_docs, "n_entities": n_entities,
                   "seed": SEED}

@@ -244,14 +244,33 @@ def q_span_invariant(_sf_dir: str):
     annotated = docs.map_batches(
         AnnotateDocsActor, fn_constructor_kwargs={"bundle": bundle},
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
-    a = docs.map_batches(spans_signature, batch_format="pyarrow").to_pandas()
-    b = annotated.map_batches(spans_signature,
-                              batch_format="pyarrow").to_pandas()
-    m = a.merge(b, on="doc_id", suffixes=("_in", "_out"))
-    return pa.table({
-        "doc_id": pa.array(m["doc_id"], pa.string()),
-        "equal": pa.array(m["span_sig_in"] == m["span_sig_out"]),
-    })
+
+    def _sig(col_name):
+        def f(t: pa.Table) -> pa.Table:
+            return spans_signature(t).rename_columns(["doc_id", col_name])
+        return f
+
+    # distributed check: per-doc signatures never leave the cluster —
+    # a Dataset hash join + boolean kernel replaces the old driver-side
+    # pandas merge (which materialized one row per doc on the driver).
+    # The annotated side is an actor pool; materialize it before the
+    # JoinOperator (deadlock note at canon.py:236).
+    a = docs.map_batches(_sig("span_sig_in"), batch_format="pyarrow")
+    b = annotated.map_batches(_sig("span_sig_out"),
+                              batch_format="pyarrow").materialize()
+    joined = a.join(b, join_type="inner", num_partitions=4,
+                    on=("doc_id",))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "equal": pc.equal(t.column("span_sig_in"),
+                              t.column("span_sig_out")),
+        })
+
+    return joined.map_batches(verdict, batch_format="pyarrow")
 
 
 @q("q_train_eval")
@@ -549,14 +568,39 @@ def q_sample(sf_dir: str):
 @q("q_media")
 def q_media(_sf_dir: str):
     """Fused multimodal entry: media metadata extraction + frame
-    sampling over interleaved docs (decode stubbed with a deterministic
-    fake — plumbing is real; one row per media span with stats columns
-    and the sampled frame refs as a list; rows-only; merged for the
-    driver's 50-row correctness budget)."""
-    from ner_ray.sources.io import read_docs
-    from ner_ray.stages.multimodal import media_pipeline
+    sampling over interleaved docs, hash-joined with the REAL audio
+    decode of the media-blob sidecar (stdlib wave parses actual WAV
+    bytes; image rows carry typed nulls — no image codec exists here).
+    One row per media span with fake-plumbing stats columns, sampled
+    frame refs, and real audio columns (sample_rate/channels/n_frames/
+    duration_s/peak); rows-only; merged for the driver's 50-row
+    correctness budget."""
+    import ray.data as rd
 
-    return media_pipeline(read_docs(f"{_fx()}/docs.parquet"))
+    from ner_ray.sources.io import read_docs
+    from ner_ray.stages.multimodal import (
+        _flat_media,
+        audio_stats,
+        media_pipeline,
+    )
+
+    fx = _fx()
+    # Join ORDER matters twice here: (a) Ray's hash join (Arrow acero)
+    # rejects list<> non-key columns, so the join runs on FLAT scalar
+    # media rows BEFORE the fused pipeline (which then carries the
+    # audio columns through to sit beside its list-typed frames/feature
+    # output); (b) the audio actor pool is materialized before the
+    # JoinOperator — joins scheduled downstream of live actor pools can
+    # deadlock the streaming executor at low CPU counts (canon.py:236).
+    flat = read_docs(f"{fx}/docs.parquet").map_batches(
+        lambda t: _flat_media(t).select(
+            ["doc_id", "span_idx", "media_ref", "kind"]),
+        batch_format="pyarrow")
+    ast = audio_stats(
+        rd.read_parquet(f"{fx}/media_blobs.parquet")).materialize()
+    joined = flat.join(ast, join_type="left_outer", num_partitions=4,
+                       on=("media_ref",))
+    return media_pipeline(joined)
 
 
 @q("q_candidates", sql=f"""

@@ -139,3 +139,26 @@ LINEAGE = pa.schema(
         ("status", pa.string()),
     ]
 )
+
+# Media blob sidecar (media_ref -> payload bytes). Audio payloads are
+# REAL WAV containers (decodable with stdlib `wave`); image payloads
+# are opaque (no image codec exists in this environment).
+MEDIA_BLOBS = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("media_bytes", pa.binary()),
+    ]
+)
+
+# Real decode output for audio blobs; non-audio rows carry nulls.
+AUDIO_STATS = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("channels", pa.int32()),
+        ("n_frames", pa.int64()),
+        ("duration_s", pa.float64()),
+        ("peak", pa.int32()),
+    ]
+)

@@ -59,14 +59,25 @@ def _init_centroids(ds, k: int, id_col: str, emb_col: str) -> np.ndarray:
 
 
 def kmeans_fit(ds, k: int = 16, iters: int = 8,
-               id_col: str = "vec_id", emb_col: str = "embedding"):
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               materialize: bool = True):
     """Spherical k-means (cosine) over an embedding Dataset. Returns
     (centroids (k, d) normalized, shift history). Each iteration is one
     streaming pass; partials are (k, d) sums + (k,) counts per batch —
-    mergeable, tiny, no shuffle."""
+    mergeable, tiny, no shuffle.
+
+    ``materialize=True`` (default) pins the embedding table in the
+    object store once and reuses it across Lloyd iterations — fastest
+    when it fits. ``materialize=False`` is the larger-than-cluster-
+    memory mode: every iteration re-executes the upstream read (the
+    lazy Dataset re-streams from storage), so nothing is pinned and the
+    working set is one block per in-flight task. Centroids are
+    identical either way (deterministic hash init, order-independent
+    partial sums)."""
     import ray
 
-    ds = ds.materialize()
+    if materialize:
+        ds = ds.materialize()
     cents = _init_centroids(ds, k, id_col, emb_col)
     history = []
     for _it in range(iters):
@@ -138,18 +149,21 @@ def build_ivf_index(ds, out_dir: str, centroids: np.ndarray,
 
 def ivf_ann_topk(index_dir: str, query_vec: np.ndarray, k: int = 10,
                  nprobe: int = 4, id_col: str = "vec_id",
-                 emb_col: str = "embedding"):
+                 emb_col: str = "embedding", filesystem=None):
     """Pruned IVF search: read only the nprobe nearest inverted lists
     via the shared pruned-read helper (similarity._pruned_topk).
-    Returns (Dataset[(id, sim)], read_fraction)."""
-    from ner_ray.stages.similarity import _pruned_topk
+    Returns (Dataset[(id, sim)], read_fraction). All I/O goes through
+    ``pyarrow.fs`` so the index may live on an object store."""
+    from ner_ray.stages.similarity import _pruned_topk, _resolve_fs
 
+    fs, root = _resolve_fs(index_dir, filesystem)
+    with fs.open_input_file(f"{root.rstrip('/')}/{CENTROIDS_FILE}") as f:
+        cent_tbl = pq.read_table(f)
     cents = np.stack([
         np.asarray(v, dtype=np.float64)
-        for v in pq.read_table(os.path.join(index_dir, CENTROIDS_FILE))
-        .column("centroid").to_pylist()])
+        for v in cent_tbl.column("centroid").to_pylist()])
     q = _normalize(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))
     order = np.argsort(-(q @ cents.T)[0])
     probe = set(int(i) for i in order[:nprobe])
-    return _pruned_topk(index_dir, "ivf_list", probe, q[0], k,
-                        id_col, emb_col)
+    return _pruned_topk(root, "ivf_list", probe, q[0], k,
+                        id_col, emb_col, filesystem=fs)

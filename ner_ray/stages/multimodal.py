@@ -2,12 +2,13 @@
 metadata).
 
 The Ray-side plumbing — schema, actor signature, batch sizing, output
-layout — is real and tested; the actual codec calls are STUBBED behind
-``decode_media`` because no image/audio libraries exist in this
-container. ``FakeMediaDecoder`` produces deterministic pseudo-metadata
-from the media_ref hash so pipelines and tests have stable, non-trivial
-values; ``RealMediaDecoder.__call__`` raises NotImplementedError at the
-clearly-marked decode call site.
+layout — is real and tested. Codec boundary: AUDIO decode is REAL
+(stdlib ``wave`` parses WAV payloads in ``RealMediaDecoder`` /
+``AudioStatsStage``); image and video decode remain stubbed behind
+``decode_media`` because no image/video codec library exists in this
+container (PIL/cv2/imageio/av all absent). ``FakeMediaDecoder``
+produces deterministic pseudo-metadata from the media_ref hash so
+pipelines and tests have stable, non-trivial values for every kind.
 
 Large binary payloads => keep ``batch_size`` small for these stages
 (documented: a decoded image batch of B rows × H×W×3 bytes must fit the
@@ -20,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ner_ray.schema import AUDIO_STATS
 from ner_ray.stages.spans import flatten_spans
 from ner_ray.util.hashing import hash_column
 
@@ -37,6 +39,18 @@ MEDIA_META = pa.schema(
 )
 
 
+def _flat_media(batch: pa.Table) -> pa.Table:
+    """Nested docs -> flat media-span rows; an already-flat input (e.g.
+    media rows joined with blob/audio columns) passes through, minus
+    any text spans."""
+    if "spans" in batch.schema.names:
+        batch = flatten_spans(batch)
+    if "kind" in batch.schema.names:
+        batch = batch.filter(
+            pa.compute.not_equal(batch.column("kind"), "text"))
+    return batch
+
+
 class FakeMediaDecoder:
     """Actor-pool decode stage with a deterministic fake backend.
 
@@ -51,9 +65,7 @@ class FakeMediaDecoder:
         pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spans = flatten_spans(batch)
-        media = spans.filter(
-            pa.compute.not_equal(spans.column("kind"), "text"))
+        media = _flat_media(batch)
         refs = media.column("media_ref")
         h = hash_column(refs) if len(media) else np.array([], dtype=np.uint64)
         width = (64 + (h % np.uint64(1024))).astype(np.int32)
@@ -106,9 +118,7 @@ class FakeFrameSampler:
         self.max_frames = max_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spans = flatten_spans(batch)
-        media = spans.filter(
-            pa.compute.not_equal(spans.column("kind"), "text"))
+        media = _flat_media(batch)
         if len(media) == 0:
             return FRAME_SAMPLE.empty_table()
         refs = media.column("media_ref").to_numpy(zero_copy_only=False)
@@ -147,16 +157,95 @@ def frame_samples(docs_ds, stride: int = 10, max_frames: int = 8,
 
 
 class RealMediaDecoder(FakeMediaDecoder):
-    """The production signature. Decode is stubbed: this container has
-    no image/audio codecs (no PIL/ffmpeg/torchvision)."""
+    """The production decode signature. AUDIO is decoded for real:
+    stdlib ``wave`` parses WAV containers (the one codec available in
+    this environment), yielding sample rate / channels / frame count /
+    duration / int16 peak. Image and video decode remain stubbed —
+    no codec library (PIL/cv2/imageio/av/soundfile) exists in this
+    container, so those kinds raise NotImplementedError."""
 
-    def decode_media(self, media_bytes: bytes, kind: str):
+    def decode_media(self, media_bytes: bytes, kind: str) -> dict:
+        if kind == "audio":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(media_bytes), "rb") as w:
+                nch = w.getnchannels()
+                sw = w.getsampwidth()
+                rate = w.getframerate()
+                nf = w.getnframes()
+                raw = w.readframes(nf)
+            peak = 0
+            if sw == 2 and raw:
+                peak = int(np.abs(
+                    np.frombuffer(raw, dtype="<i2").astype(np.int32)).max())
+            return {"sample_rate": rate, "channels": nch, "n_frames": nf,
+                    "duration_s": nf / rate if rate else 0.0, "peak": peak}
         raise NotImplementedError(
-            "media decode requires image/audio codecs not present in "
-            "this environment; see FakeMediaDecoder for the tested "
-            "plumbing and ner_ray/stages/multimodal.py docstring for "
-            "batch-sizing guidance"
+            f"{kind} decode requires codecs not present in this "
+            "environment (only stdlib wave exists — audio/WAV is the "
+            "one real decode path); see FakeMediaDecoder for the "
+            "tested plumbing and the module docstring for batch-sizing "
+            "guidance"
         )
+
+
+class AudioStatsStage:
+    """Actor-pool real-decode stage over a MEDIA_BLOBS table. Audio
+    rows decode their actual WAV bytes (stdlib wave); non-audio rows
+    emit typed nulls (their codecs don't exist here). The per-item
+    loop is inherent to codec decode — each payload is an opaque
+    container — so this is the one stage exempt from the
+    no-row-loops rule; keep batches small (binary payloads)."""
+
+    def __init__(self):
+        self.decoder = RealMediaDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        blobs = batch.column("media_bytes").to_pylist()
+        n = len(refs)
+        rate = np.zeros(n, np.int32)
+        nch = np.zeros(n, np.int32)
+        nf = np.zeros(n, np.int64)
+        dur = np.zeros(n, np.float64)
+        peak = np.zeros(n, np.int32)
+        is_audio = np.zeros(n, bool)
+        for i, (k, b) in enumerate(zip(kinds, blobs)):
+            if k != "audio":
+                continue
+            st = self.decoder.decode_media(b, "audio")
+            is_audio[i] = True
+            rate[i] = st["sample_rate"]
+            nch[i] = st["channels"]
+            nf[i] = st["n_frames"]
+            dur[i] = st["duration_s"]
+            peak[i] = st["peak"]
+        mask = pa.array(~is_audio)
+
+        def nullable(vals, typ):
+            a = pa.array(vals, typ)
+            if not is_audio.all():
+                a = pa.compute.if_else(mask, pa.nulls(n, typ), a)
+            return a
+
+        return pa.table({
+            "media_ref": batch.column("media_ref"),
+            "sample_rate": nullable(rate, pa.int32()),
+            "channels": nullable(nch, pa.int32()),
+            "n_frames": nullable(nf, pa.int64()),
+            "duration_s": nullable(dur, pa.float64()),
+            "peak": nullable(peak, pa.int32()),
+        }, schema=AUDIO_STATS)
+
+
+def audio_stats(blobs_ds, concurrency=(1, 4), batch_size: int = 64):
+    """Real WAV decode over a media-blobs Dataset (small batches: each
+    row carries a binary payload)."""
+    return blobs_ds.map_batches(
+        AudioStatsStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
 
 
 def media_stats(docs_ds, concurrency=(1, 4), batch_size: int = 512):
@@ -177,9 +266,14 @@ class MediaPipelineStage:
         self.decoder = FakeMediaDecoder()
         self.sampler = FakeFrameSampler(stride, max_frames)
 
+    # carried media keys + blob payloads never duplicate into output
+    _NO_CARRY = {"doc_id", "span_idx", "media_ref", "kind", "text",
+                 "offset", "media_bytes"}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        stats = self.decoder(batch)
-        frames = self.sampler(batch)
+        media = _flat_media(batch)
+        stats = self.decoder(media)
+        frames = self.sampler(media)
         # the sampler emits frame rows grouped consecutively in media-row
         # order (np.repeat over the same flatten); recover per-media
         # counts from the frames table itself — run-length over the
@@ -212,9 +306,16 @@ class MediaPipelineStage:
             pa.int32())
         flist = pa.ListArray.from_arrays(
             offsets, frames.column("frame_ref").combine_chunks())
-        return stats.append_column(
+        out = stats.append_column(
             "n_frames_sampled", pa.array(n_sampled, pa.int64())
         ).append_column("frames", flist)
+        # carry through any extra input columns (e.g. real audio stats
+        # joined onto flat media rows) — same row order as the decoder
+        for name in media.schema.names:
+            if name in self._NO_CARRY or name in out.schema.names:
+                continue
+            out = out.append_column(name, media.column(name))
+        return out
 
 
 def media_pipeline(docs_ds, stride: int = 10, max_frames: int = 8,

@@ -334,32 +334,60 @@ def _planes_for(d: int, seed: int, n_planes: int = N_PLANES) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, d))
 
 
+def _resolve_fs(path: str, filesystem=None):
+    """(filesystem, fs-native path) for a local path or an object-store
+    URI (s3://..., gs://...). An explicit handle wins — the path is
+    then taken as already fs-native."""
+    from pyarrow import fs as pafs
+
+    if filesystem is not None:
+        return filesystem, path
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except (pa.ArrowInvalid, ValueError):
+        # bare relative path: from_uri needs a scheme or absolute path
+        import os
+
+        return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
 def _pruned_topk(index_dir: str, prefix: str, probe_keys: set,
-                 q_unit: np.ndarray, k: int, id_col: str, emb_col: str):
+                 q_unit: np.ndarray, k: int, id_col: str, emb_col: str,
+                 filesystem=None):
     """Shared partition-pruned exact-cosine top-k over a
     ``<prefix>=<key>`` partitioned index (used by both the LSH and IVF
     indexes): list the partition dirs, read ONLY the probed keys'
     files, score, sort desc with id tie-break, limit k. Returns
-    (Dataset, read_fraction = files read / files in the index)."""
-    import os
+    (Dataset, read_fraction = files read / files in the index).
+
+    All listing goes through ``pyarrow.fs`` so the same pruning works
+    against object stores (S3/GCS prefixes) as against local disk —
+    pass ``filesystem`` explicitly or let it resolve from the URI."""
+    from pyarrow import fs as pafs
 
     import ray.data as rd
 
-    all_dirs = [d for d in os.listdir(index_dir)
-                if d.startswith(prefix + "=")]
-    n_all = sum(len(os.listdir(os.path.join(index_dir, d)))
-                for d in all_dirs) or 1
-    picked = [
-        os.path.join(index_dir, d, f)
-        for d in all_dirs if int(d.split("=", 1)[1]) in probe_keys
-        for f in os.listdir(os.path.join(index_dir, d))
+    fs, root = _resolve_fs(index_dir, filesystem)
+    entries = fs.get_file_info(pafs.FileSelector(root, recursive=True))
+    sep = "/"  # pyarrow.fs paths are /-separated on every backend
+    data_files = [
+        e.path for e in entries
+        if e.type == pafs.FileType.File
+        and e.path[len(root):].lstrip(sep).startswith(prefix + "=")
     ]
+    n_all = len(data_files) or 1
+
+    def _part_key(p: str) -> int:
+        seg = p[len(root):].lstrip(sep).split(sep, 1)[0]
+        return int(seg.split("=", 1)[1])
+
+    picked = [p for p in data_files if _part_key(p) in probe_keys]
     if not picked:
         empty = rd.from_arrow(pa.table({
             id_col: pa.array([], pa.int64()),
             "sim": pa.array([], pa.float64())}))
         return empty, 0.0
-    ds = rd.read_parquet(picked, columns=[id_col, emb_col])
+    ds = rd.read_parquet(picked, filesystem=fs, columns=[id_col, emb_col])
 
     def score(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -400,7 +428,8 @@ def build_lsh_index(embeddings_ds, out_dir: str, seed: int = 42,
 def lsh_ann_topk_indexed(index_dir: str, query_vec: np.ndarray,
                          k: int = 10, seed: int = 42,
                          id_col: str = "vec_id",
-                         emb_col: str = "embedding"):
+                         emb_col: str = "embedding",
+                         filesystem=None):
     """ANN top-k over a bucket-partitioned index: list the bucket dirs
     within Hamming 1 of the query bucket, read ONLY those, score exact
     cosine over the candidates. Same candidate set (same planes,
@@ -413,4 +442,4 @@ def lsh_ann_topk_indexed(index_dir: str, query_vec: np.ndarray,
     qb = int(_lsh_buckets(q, planes)[0])
     near = {qb} | {qb ^ (1 << b) for b in range(N_PLANES)}
     return _pruned_topk(index_dir, "bucket", near, q[0], k,
-                        id_col, emb_col)
+                        id_col, emb_col, filesystem=filesystem)

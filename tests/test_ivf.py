@@ -65,3 +65,22 @@ def test_ivf_pruned_read_and_recall(ray_session, setup):
     recall = hits / 40
     assert recall >= 0.9, recall
     assert frac_sum / 4 <= 0.5  # pruned read touches a minority of lists
+
+
+def test_kmeans_streaming_mode_matches(ray_session, setup, tmp_path):
+    """materialize=False (re-read the source every Lloyd iteration —
+    the larger-than-cluster-memory mode) produces the same centroids
+    as the pinned default: deterministic init + same block order means
+    the driver reduce sees partials in the same order."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ner_ray.stages.ivf import kmeans_fit
+
+    tbl, cents_pinned, _h, _out = setup
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path)
+    ds = rd.read_parquet(path).repartition(4)
+    cents_stream, hist = kmeans_fit(ds, k=16, iters=8, materialize=False)
+    assert np.allclose(cents_stream, cents_pinned, atol=1e-12)
+    assert len(hist) >= 1

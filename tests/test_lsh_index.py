@@ -55,3 +55,22 @@ def test_empty_probe_returns_empty(ray_session, tmp_path):
     (tmp_path / "bucket=999999").mkdir()  # index with no matching bucket
     top, frac = lsh_ann_topk_indexed(str(tmp_path), np.ones(64), k=5)
     assert top.count() == 0
+
+
+def test_explicit_filesystem_handle(ray_session, index_dir):
+    """The pruned read is pyarrow.fs-abstracted: an explicit
+    LocalFileSystem handle gives byte-identical results and the same
+    read fraction as the path-resolved default (the shape an
+    object-store deployment uses: pass the S3FileSystem + prefix)."""
+    from pyarrow import fs as pafs
+
+    from ner_ray.stages.similarity import lsh_ann_topk_indexed
+
+    q = _query_vec()
+    top_d, frac_d = lsh_ann_topk_indexed(index_dir, q, k=10)
+    top_e, frac_e = lsh_ann_topk_indexed(
+        index_dir, q, k=10, filesystem=pafs.LocalFileSystem())
+    assert frac_e == frac_d and 0 < frac_e < 1.0
+    pd_d, pd_e = top_d.to_pandas(), top_e.to_pandas()
+    assert pd_e["vec_id"].to_list() == pd_d["vec_id"].to_list()
+    assert np.allclose(pd_e["sim"], pd_d["sim"])
