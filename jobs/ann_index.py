@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--nprobe", type=int, default=4)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--checkpoint", default="",
+                    help="lineage root: build emits per-partition "
+                         "records to <checkpoint>/lineage.jsonl")
     args = ap.parse_args()
 
     import ray
@@ -52,20 +55,38 @@ def main() -> None:
                              columns=["vec_id", "embedding"])
         if args.mode == "build":
             assert args.out, "--out required for build"
+            import time
+
+            t0 = time.time()
             if args.method == "ivf":
                 from ner_ray.stages.ivf import build_ivf_index, kmeans_fit
 
                 cents, hist = kmeans_fit(ds, k=args.lists,
                                          iters=args.iters)
                 build_ivf_index(ds, args.out, cents)
-                print(json.dumps({"built": args.out, "method": "ivf",
-                                  "lists": args.lists,
-                                  "kmeans_shift": hist}))
+                summary = {"built": args.out, "method": "ivf",
+                           "lists": args.lists, "kmeans_shift": hist}
             else:
                 from ner_ray.stages.similarity import build_lsh_index
 
                 build_lsh_index(ds, args.out)
-                print(json.dumps({"built": args.out, "method": "lsh"}))
+                summary = {"built": args.out, "method": "lsh"}
+            if args.checkpoint:
+                from ner_ray.state.lineage import (
+                    CheckpointManager,
+                    fingerprint,
+                    input_fingerprint,
+                )
+
+                cm = CheckpointManager(args.checkpoint)
+                fp = fingerprint(f"ann_{args.method}",
+                                 input_fingerprint(args.embeddings),
+                                 str(args.lists), str(args.iters))
+                rows = cm.log_partitioned_output(
+                    f"ann_{args.method}", fp, args.out,
+                    wall_s=time.time() - t0)
+                summary["lineage_records"] = len(rows)
+            print(json.dumps(summary))
             return
         assert args.index, "--index required for query"
         import pyarrow.compute as pc

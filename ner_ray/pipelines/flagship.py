@@ -82,7 +82,7 @@ def raw_triples(linked_ds):
 
 def build_graph(docs_ds, model_path: str, alias_path: str, *,
                 tagger_concurrency=(1, 8), batch_size: int = 2048,
-                n_salts: int = 4):
+                n_salts: int = 4, checkpoint=None, docs_fp: str = ""):
     """Compose the pipeline. Returns a dict of Datasets / tables.
 
     The doc-processing chain (tagged/linked/triples/deduped/resolved/
@@ -92,7 +92,15 @@ def build_graph(docs_ds, model_path: str, alias_path: str, *,
     construction to pick the local-union-find vs distributed-labelprop
     path (canon.canonicalize_and_resolve), and on the small path the
     union-find runs immediately — that cost scales with the alias
-    table, never the corpus."""
+    table, never the corpus.
+
+    ``checkpoint`` (a CheckpointManager or a root path) opts the tail
+    stages (resolved, adjacency) into per-partition lineage +
+    skip-on-rerun, same records as jobs/build_graph.py. Checkpointing
+    is eager by nature — each wrapped stage executes and writes at
+    construction — so the default (None) keeps the pure-streaming
+    no-extra-materialize path. ``docs_fp`` feeds the fingerprint chain
+    when the docs Dataset came from a known location."""
     import ray.data as rd
 
     bundle_ref = put_bundle(model_path, alias_path)
@@ -108,7 +116,27 @@ def build_graph(docs_ds, model_path: str, alias_path: str, *,
 
     alias_ds = rd.read_parquet(alias_path, columns=["entity_id", "alias"])
     canon_tbl, resolved = canonicalize_and_resolve(triples, alias_ds)
-    adjacency = build_adjacency(resolved, n_salts=n_salts)
+    if checkpoint is not None:
+        from ner_ray.state.lineage import (
+            CheckpointManager,
+            fingerprint,
+            input_fingerprint,
+        )
+
+        cm = (checkpoint if isinstance(checkpoint, CheckpointManager)
+              else CheckpointManager(checkpoint))
+        fp_res = fingerprint("flagship_resolved", docs_fp,
+                             input_fingerprint(model_path),
+                             input_fingerprint(alias_path))
+        res_ds = resolved
+        resolved = cm.run_stage("flagship_resolved", fp_res,
+                                lambda: res_ds)
+        fp_adj = fingerprint("flagship_adjacency", fp_res, str(n_salts))
+        adjacency = cm.run_stage(
+            "flagship_adjacency", fp_adj,
+            lambda: build_adjacency(resolved, n_salts=n_salts))
+    else:
+        adjacency = build_adjacency(resolved, n_salts=n_salts)
     return {
         "tagged": tagged,
         "linked": linked,
@@ -120,8 +148,15 @@ def build_graph(docs_ds, model_path: str, alias_path: str, *,
     }
 
 
-def run_fixture_pipeline(fixture_dir: str, **kw):
-    """Convenience: flagship over a generated fixture directory."""
+def run_fixture_pipeline(fixture_dir: str, checkpoint=None, **kw):
+    """Convenience: flagship over a generated fixture directory. Pass
+    ``checkpoint`` to get lineage + resume for the tail stages."""
     docs = read_docs(f"{fixture_dir}/docs.parquet")
+    docs_fp = ""
+    if checkpoint is not None:
+        from ner_ray.state.lineage import input_fingerprint
+
+        docs_fp = input_fingerprint(f"{fixture_dir}/docs.parquet")
     return build_graph(docs, f"{fixture_dir}/model.parquet",
-                       f"{fixture_dir}/alias.parquet", **kw)
+                       f"{fixture_dir}/alias.parquet",
+                       checkpoint=checkpoint, docs_fp=docs_fp, **kw)

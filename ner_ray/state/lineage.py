@@ -71,6 +71,33 @@ class CheckpointManager:
         with open(self._log_path) as f:
             return [json.loads(line) for line in f if line.strip()]
 
+    def log_partitioned_output(self, stage: str, fp: str, out_dir: str,
+                               wall_s: float = 0.0,
+                               status: str = "computed") -> list[dict]:
+        """Append per-partition lineage rows for an output directory
+        written OUTSIDE run_stage (e.g. the ANN index builders, which
+        own their partition layout + sidecar files). One row per
+        parquet data file; sidecars (underscore-prefixed) are skipped."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        pid = 0
+        for root, dirs, files in os.walk(out_dir):
+            dirs.sort()
+            for f in sorted(files):
+                if not f.endswith(".parquet") or f.startswith("_"):
+                    continue
+                n = pq.read_metadata(os.path.join(root, f)).num_rows
+                rows.append({
+                    "stage": stage, "partition_id": pid,
+                    "input_fingerprint": fp, "rows_in": -1,
+                    "rows_out": int(n), "wall_s": round(wall_s, 4),
+                    "status": status,
+                })
+                pid += 1
+        self._log(rows)
+        return rows
+
     # -------------------------------------------------------- stages
 
     def stage_dir(self, name: str, fp: str) -> str:

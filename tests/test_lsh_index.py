@@ -57,6 +57,28 @@ def test_empty_probe_returns_empty(ray_session, tmp_path):
     assert top.count() == 0
 
 
+def test_index_build_lineage(ray_session, index_dir, tmp_path):
+    """Index builds emit per-partition lineage records (one per data
+    file, sidecars skipped) through the shared CheckpointManager."""
+    import json
+    import os
+
+    from ner_ray.state.lineage import CheckpointManager, fingerprint
+
+    cm = CheckpointManager(str(tmp_path / "ckpt"))
+    rows = cm.log_partitioned_output("ann_lsh", fingerprint("t"),
+                                     index_dir, wall_s=1.0)
+    n_files = sum(
+        1 for root, _d, files in os.walk(index_dir)
+        for f in files if f.endswith(".parquet") and not f.startswith("_"))
+    assert len(rows) == n_files > 0
+    logged = [json.loads(x)
+              for x in open(tmp_path / "ckpt" / "lineage.jsonl")]
+    assert len(logged) == n_files
+    assert all(r["stage"] == "ann_lsh" and r["rows_out"] > 0
+               for r in logged)
+
+
 def test_explicit_filesystem_handle(ray_session, index_dir):
     """The pruned read is pyarrow.fs-abstracted: an explicit
     LocalFileSystem handle gives byte-identical results and the same

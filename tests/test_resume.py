@@ -81,3 +81,34 @@ def test_kill_and_resume(tmp_path):
     got_df = got.to_pandas().sort_values("src").reset_index(drop=True)
     assert got_df["src"].tolist() == gold["src"].tolist()
     assert got_df["degree"].tolist() == gold["degree"].tolist()
+
+
+def test_flagship_checkpoint_lineage(ray_session, tmp_path):
+    """The queries() flagship path emits lineage when opted in: run 1
+    computes the tail stages, run 2 skips both and returns identical
+    adjacency (SURVEY §2.10 S8 as a cross-cutting wrapper, not only the
+    job script)."""
+    import json
+
+    from ner_ray.fixtures.gen import ensure_fixtures
+    from ner_ray.pipelines.flagship import run_fixture_pipeline
+
+    fx = ensure_fixtures("tiny")
+    ckpt = str(tmp_path / "ckpt")
+    out1 = run_fixture_pipeline(fx, checkpoint=ckpt)
+    adj1 = out1["adjacency"].to_pandas().sort_values("src") \
+        .reset_index(drop=True)
+    lineage_path = f"{ckpt}/lineage.jsonl"
+    l1 = [json.loads(x) for x in open(lineage_path)]
+    by_stage = {}
+    for r in l1:
+        by_stage.setdefault(r["stage"], set()).add(r["status"])
+    assert by_stage["flagship_resolved"] == {"computed"}
+    assert by_stage["flagship_adjacency"] == {"computed"}
+
+    out2 = run_fixture_pipeline(fx, checkpoint=ckpt)
+    adj2 = out2["adjacency"].to_pandas().sort_values("src") \
+        .reset_index(drop=True)
+    l2 = [json.loads(x) for x in open(lineage_path)][len(l1):]
+    assert l2 and {r["status"] for r in l2} == {"skipped"}
+    pd.testing.assert_frame_equal(adj1, adj2)
