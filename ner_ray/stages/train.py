@@ -13,9 +13,12 @@ deltas (the "mixing" reduce) and re-broadcasts. The final averaged
 weights EXPORT TO THE STANDARD MODEL TABLE, so a trained model runs
 through the unmodified TaggerActor pipeline.
 
-Feature space = exactly the frozen template families
-(constants.FEATURE_FAMILIES) + transitions + start, built by a
-distributed vocabulary pass.
+Feature space = the frozen template families
+(constants.FEATURE_FAMILIES) + transitions + start by default, built by
+a distributed vocabulary pass; every trainer also accepts a Wapiti-style
+``patterns`` file (functions/patterns.py) whose %x/%t/%m families
+replace the built-ins — serve the result with
+TaggerActor(patterns=<same file>).
 
 Scale notes: weight tensors are dense per family (|values| x offsets x
 labels); at 10^12-doc scale the vocabulary pass pre-aggregates unique
@@ -47,15 +50,38 @@ from ner_ray.oracle.reference_oracle import shape as _shape
 # --------------------------------------------------------- feature space
 
 
-def _family_value(fam: str, token: str, ntoken: str) -> str:
+import functools
+import re as _re
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled(regex: str):
+    return _re.compile(regex)
+
+
+def _family_value(fam: str, token: str, ntoken: str, tests=()) -> str:
+    """Observation value for one family of one token — the engine's
+    derived columns plus %t/%m regex families from a pattern file.
+    Semantics match the tagger's pandas path exactly (_family_values
+    in stages/tagger.py: .str.contains == re.search -> '1'/'0';
+    .str.extract == re.search group 1 / whole match, no match -> '')."""
     if fam == "low":
         return ntoken
     if fam == "shape":
         return _shape(token)
-    if fam.startswith("pre"):
+    if fam.startswith("pre") and fam[3:].isdigit():
         return ntoken[: int(fam[3])]
-    if fam.startswith("suf"):
+    if fam.startswith("suf") and fam[3:].isdigit():
         return ntoken[-int(fam[3]):]
+    for t in tests:
+        if t.template_id == fam:
+            col = _family_value(t.column, token, ntoken)
+            m = _compiled(t.regex).search(col)
+            if t.extract:
+                if m is None:
+                    return ""
+                return m.group(1) if m.re.groups else m.group(0)
+            return "1" if m else "0"
     raise KeyError(fam)
 
 
@@ -63,9 +89,28 @@ _LEX_FAMILIES = ["low", "shape", "pre1", "pre2", "pre3",
                  "suf1", "suf2", "suf3"]
 
 
-def build_feature_space(seq_ds, alias_types: dict[str, str] | None = None):
+def _plan_from_patterns(patterns):
+    """(families dict, tests tuple) for a trainer's ``patterns`` arg:
+    None -> the frozen built-in layout; str -> parsed pattern file;
+    PatternSet -> its score_families (%x + %t/%m merged offsets)."""
+    if patterns is None:
+        return dict(FEATURE_FAMILIES), ()
+    if isinstance(patterns, str):
+        from ner_ray.functions.patterns import parse_pattern_file
+
+        patterns = parse_pattern_file(patterns)
+    return dict(patterns.score_families), tuple(patterns.tests)
+
+
+def build_feature_space(seq_ds, alias_types: dict[str, str] | None = None,
+                        families: dict | None = None, tests=()):
     """Distributed vocabulary pass: unique values per family.
-    seq_ds rows: (tokens: list<string>, ...). Returns value_ids dicts."""
+    seq_ds rows: (tokens: list<string>, ...). Returns value_ids dicts.
+    ``families``/``tests`` (from a pattern file) select which families
+    get a vocabulary; default is the frozen built-in layout."""
+    lex_fams = ([f for f in families if f != "gaz"]
+                if families is not None else _LEX_FAMILIES)
+
     def uniques(batch: pa.Table) -> pa.Table:
         toks = batch.column("tokens")
         if isinstance(toks, pa.ChunkedArray):
@@ -74,9 +119,9 @@ def build_feature_space(seq_ds, alias_types: dict[str, str] | None = None):
         fams, vals = [], []
         for t in flat:
             n = _norm(t)
-            for fam in _LEX_FAMILIES:
+            for fam in lex_fams:
                 fams.append(fam)
-                vals.append(_family_value(fam, t, n))
+                vals.append(_family_value(fam, t, n, tests))
         out = pd.DataFrame({"fam": fams, "val": vals}).drop_duplicates()
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -93,33 +138,42 @@ def build_feature_space(seq_ds, alias_types: dict[str, str] | None = None):
 
 @dataclass
 class TrainWeights:
-    """Dense per-family weight tensors (same layout as ModelBundle)."""
+    """Dense per-family weight tensors (same layout as ModelBundle).
+    ``families`` is the fam -> offsets layout being trained (defaults
+    to the frozen built-ins; a pattern file substitutes its own)."""
 
     value_ids: dict[str, dict[str, int]]
     weights: dict[str, np.ndarray]       # fam -> (n_vals+1, n_off, L)
     trans: np.ndarray                    # (L, L)
     start: np.ndarray                    # (L,)
+    families: dict[str, tuple] | None = None
+
+    @property
+    def fams(self) -> dict[str, tuple]:
+        return self.families if self.families is not None \
+            else FEATURE_FAMILIES
 
     @classmethod
-    def zeros(cls, value_ids) -> "TrainWeights":
+    def zeros(cls, value_ids, families=None) -> "TrainWeights":
+        fams = families if families is not None else FEATURE_FAMILIES
         w = {
             fam: np.zeros((len(value_ids[fam]) + 1,
-                           len(FEATURE_FAMILIES[fam]), N_LABELS))
-            for fam in FEATURE_FAMILIES
+                           len(fams[fam]), N_LABELS))
+            for fam in fams
         }
         return cls(value_ids, w, np.zeros((N_LABELS, N_LABELS)),
-                   np.zeros(N_LABELS))
+                   np.zeros(N_LABELS), families)
 
     def copy(self) -> "TrainWeights":
         return TrainWeights(
             self.value_ids, {f: w.copy() for f, w in self.weights.items()},
-            self.trans.copy(), self.start.copy())
+            self.trans.copy(), self.start.copy(), self.families)
 
     def to_model_table(self) -> pa.Table:
         """Export to the sparse (feature, label, weight) model format
         consumed by ModelBundle / the oracle."""
         feats, labels, ws = [], [], []
-        for fam, offs in FEATURE_FAMILIES.items():
+        for fam, offs in self.fams.items():
             inv = {i: v for v, i in self.value_ids[fam].items()}
             W = self.weights[fam]
             nz = np.argwhere(W != 0.0)
@@ -150,19 +204,21 @@ class TrainWeights:
 
 
 def _sequence_features(tokens: list[str], value_ids,
-                       gaz_flags: list[str]) -> dict[str, np.ndarray]:
+                       gaz_flags: list[str], families=None,
+                       tests=()) -> dict[str, np.ndarray]:
     """Per family: (T, n_offsets) id matrix for one sequence."""
     T = len(tokens)
     norms = [_norm(t) for t in tokens]
     ids: dict[str, np.ndarray] = {}
-    for fam, offs in FEATURE_FAMILIES.items():
+    fams = families if families is not None else FEATURE_FAMILIES
+    for fam, offs in fams.items():
         vid = value_ids[fam]
         if fam == "gaz":
             base = np.array([vid.get(g, 0) for g in gaz_flags],
                             dtype=np.int64)
         else:
             base = np.array(
-                [vid.get(_family_value(fam, t, n), 0)
+                [vid.get(_family_value(fam, t, n, tests), 0)
                  for t, n in zip(tokens, norms)], dtype=np.int64)
         M = np.zeros((T, len(offs)), dtype=np.int64)
         for oi, off in enumerate(offs):
@@ -196,13 +252,14 @@ def _gaz_flags_for(tokens: list[str], alias_types: dict[str, str]):
 # ------------------------------------------------- featurize once
 
 
-def featurize(seq_ds, value_ids, alias_types: dict[str, str]):
+def featurize(seq_ds, value_ids, alias_types: dict[str, str],
+              families=None, tests=()):
     """One-time distributed featurization: (tokens, tags) rows ->
     per-family id matrices (flattened) + gold label ids. Training
     epochs then consume pure integers — the string kernels (normalize,
-    shape, affixes, gazetteer longest-match) run once per corpus, not
-    once per epoch (the repo's factorize-first rule)."""
-    fams = list(FEATURE_FAMILIES)
+    shape, affixes, gazetteer longest-match, pattern regex tests) run
+    once per corpus, not once per epoch (the factorize-first rule)."""
+    fams = list(families if families is not None else FEATURE_FAMILIES)
 
     def fn(batch: pa.Table) -> pa.Table:
         toks_col = batch.column("tokens").to_pylist()
@@ -213,7 +270,8 @@ def featurize(seq_ds, value_ids, alias_types: dict[str, str]):
         for tokens, gold_tags in zip(toks_col, tags_col):
             gold = [LABEL_INDEX[g] for g in gold_tags]
             gaz = _gaz_flags_for(tokens, alias_types)
-            ids = _sequence_features(tokens, value_ids, gaz)
+            ids = _sequence_features(tokens, value_ids, gaz,
+                                     families, tests)
             out["t_len"].append(len(tokens))
             out["gold"].append(gold)
             for fam in fams:
@@ -229,8 +287,10 @@ def featurize(seq_ds, value_ids, alias_types: dict[str, str]):
 
 
 def _rows_from_featurized(batch: pa.Table):
-    """Yield (ids dict, gold ndarray) per featurized row."""
-    fams = list(FEATURE_FAMILIES)
+    """Yield (ids dict, gold ndarray) per featurized row. The family
+    list is recovered from the batch's own ``f_<fam>`` columns, so any
+    pattern-defined layout round-trips without extra plumbing."""
+    fams = [c[2:] for c in batch.schema.names if c.startswith("f_")]
     t_len = batch.column("t_len").to_pylist()
     gold_col = batch.column("gold").to_pylist()
     fam_cols = {fam: batch.column(f"f_{fam}").to_pylist() for fam in fams}
@@ -240,7 +300,7 @@ def _rows_from_featurized(batch: pa.Table):
         gold = np.asarray(gold_col[i], dtype=np.int64)
         ids = {
             fam: np.asarray(fam_cols[fam][i], dtype=np.int64)
-                   .reshape(T, len(FEATURE_FAMILIES[fam]))
+                   .reshape(T, -1)
             for fam in fams
         }
         yield ids, gold
@@ -358,7 +418,7 @@ class SGDEpochTrainer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         acc = {fam: np.zeros_like(self.w.weights[fam])
-               for fam in FEATURE_FAMILIES}
+               for fam in self.w.weights}
         acc_t = np.zeros((N_LABELS, N_LABELS))
         acc_s = np.zeros(N_LABELS)
         nll_sum = 0.0
@@ -369,7 +429,7 @@ class SGDEpochTrainer:
                 ids, gold, self.w, out=(acc, acc_t, acc_s))
             nll_sum += nll
         payload = {f"g_{fam}": pa.array([acc[fam].tobytes()], pa.binary())
-                   for fam in FEATURE_FAMILIES}
+                   for fam in self.w.weights}
         payload["g_trans"] = pa.array([acc_t.tobytes()], pa.binary())
         payload["g_start"] = pa.array([acc_s.tobytes()], pa.binary())
         payload["nll"] = pa.array([nll_sum], pa.float64())
@@ -379,20 +439,25 @@ class SGDEpochTrainer:
 
 def train_sgd(seq_ds, alias_types: dict[str, str], epochs: int = 10,
               lr: float = 0.5, l2: float = 1e-4, batch_size: int = 256,
-              concurrency=(1, 8)):
+              concurrency=(1, 8), patterns=None):
     """Distributed CRF log-likelihood training: per-batch gradient
     partials inside map_batches, summed on the driver, one (full-batch)
     gradient step per epoch with L2 — the map/reduce form of the
-    reference's thread-parallel gradient + optimizer loop."""
+    reference's thread-parallel gradient + optimizer loop.
+
+    ``patterns`` (pattern-file text or a PatternSet) substitutes the
+    frozen built-in feature layout with the file's %x/%t/%m families —
+    serve the result through TaggerActor(patterns=<same patterns>)."""
     import ray
 
-    value_ids = build_feature_space(seq_ds)
-    w = TrainWeights.zeros(value_ids)
-    feat_ds = featurize(seq_ds, value_ids, alias_types)
+    families, tests = _plan_from_patterns(patterns)
+    value_ids = build_feature_space(seq_ds, families=families, tests=tests)
+    w = TrainWeights.zeros(value_ids, families)
+    feat_ds = featurize(seq_ds, value_ids, alias_types, families, tests)
     history = []
     for epoch in range(epochs):
         nll, g, _n = _grad_pass(feat_ds, w, batch_size, concurrency)
-        for fam in FEATURE_FAMILIES:
+        for fam in w.weights:
             w.weights[fam] -= lr * (g.weights[fam] + l2 * w.weights[fam])
         w.trans -= lr * (g.trans + l2 * w.trans)
         w.start -= lr * (g.start + l2 * w.start)
@@ -406,16 +471,16 @@ def train_sgd(seq_ds, alias_types: dict[str, str], epochs: int = 10,
 
 def _pack(w: "TrainWeights") -> np.ndarray:
     """Flatten all trainable tensors into one parameter vector
-    (family order = FEATURE_FAMILIES, then trans, then start)."""
-    parts = [w.weights[fam].reshape(-1) for fam in FEATURE_FAMILIES]
+    (family order = the weights layout, then trans, then start)."""
+    parts = [w.weights[fam].reshape(-1) for fam in w.weights]
     parts += [w.trans.reshape(-1), w.start]
     return np.concatenate(parts)
 
 
-def _unpack(vec: np.ndarray, value_ids) -> "TrainWeights":
-    w = TrainWeights.zeros(value_ids)
+def _unpack(vec: np.ndarray, value_ids, families=None) -> "TrainWeights":
+    w = TrainWeights.zeros(value_ids, families)
     pos = 0
-    for fam in FEATURE_FAMILIES:
+    for fam in w.weights:
         n = w.weights[fam].size
         w.weights[fam] = vec[pos:pos + n].reshape(w.weights[fam].shape).copy()
         pos += n
@@ -442,8 +507,8 @@ def _grad_pass(feat_ds, w: "TrainWeights", batch_size: int,
         concurrency=concurrency, num_cpus=1,
     ).to_pandas()
     n = max(int(parts["n_seq"].sum()), 1)
-    g = TrainWeights.zeros(w.value_ids)
-    for fam in FEATURE_FAMILIES:
+    g = TrainWeights.zeros(w.value_ids, w.families)
+    for fam in w.weights:
         shape = w.weights[fam].shape
         acc = np.zeros(shape)
         for buf in parts[f"g_{fam}"]:
@@ -492,7 +557,7 @@ def _objective_value(feat_ds, w: "TrainWeights", l2: float,
         concurrency=concurrency, num_cpus=1,
     ).to_pandas()
     n = max(int(parts["n_seq"].sum()), 1)
-    sq = sum(float((w.weights[fam] ** 2).sum()) for fam in FEATURE_FAMILIES)
+    sq = sum(float((w.weights[fam] ** 2).sum()) for fam in w.weights)
     sq += float((w.trans ** 2).sum()) + float((w.start ** 2).sum())
     return float(parts["nll"].sum()) / n + 0.5 * l2 * sq
 
@@ -505,7 +570,7 @@ def _objective(feat_ds, w: "TrainWeights", l2: float, batch_size: int,
     _clamp_pad_rows)."""
     mean_nll, g, _n = _grad_pass(feat_ds, w, batch_size, concurrency)
     sq = 0.0
-    for fam in FEATURE_FAMILIES:
+    for fam in w.weights:
         g.weights[fam] += l2 * w.weights[fam]
         g.weights[fam][0] = 0.0
         sq += float((w.weights[fam] ** 2).sum())
@@ -517,7 +582,7 @@ def _objective(feat_ds, w: "TrainWeights", l2: float, batch_size: int,
 
 def train_lbfgs(seq_ds, alias_types: dict[str, str], iters: int = 25,
                 m: int = 8, l2: float = 1e-4, batch_size: int = 256,
-                concurrency=(1, 8), tol: float = 1e-5):
+                concurrency=(1, 8), tol: float = 1e-5, patterns=None):
     """Distributed CRF training with L-BFGS — the reference's default
     optimizer family (cf. Wapiti src/lbfgs.c; Nocedal & Wright ch.7
     two-loop recursion, reconstructed; no scipy in this environment so
@@ -534,9 +599,10 @@ def train_lbfgs(seq_ds, alias_types: dict[str, str], iters: int = 25,
     Returns (TrainWeights, history) where history[i]["mean_obj"] is the
     ACCEPTED objective value per iteration — monotone non-increasing by
     the Armijo condition (asserted in tests/test_train_lbfgs.py)."""
-    value_ids = build_feature_space(seq_ds)
-    w = TrainWeights.zeros(value_ids)
-    feat_ds = featurize(seq_ds, value_ids, alias_types)
+    families, tests = _plan_from_patterns(patterns)
+    value_ids = build_feature_space(seq_ds, families=families, tests=tests)
+    w = TrainWeights.zeros(value_ids, families)
+    feat_ds = featurize(seq_ds, value_ids, alias_types, families, tests)
 
     x = _pack(w)
     f, g_struct = _objective(feat_ds, w, l2, batch_size, concurrency)
@@ -573,7 +639,7 @@ def train_lbfgs(seq_ds, alias_types: dict[str, str], iters: int = 25,
         step, accepted, g_new_struct = 1.0, False, None
         for _ls in range(20):
             x_new = x + step * d
-            w_new = _unpack(x_new, value_ids)
+            w_new = _unpack(x_new, value_ids, families)
             if _ls == 0:
                 f_new, g_new_struct = _objective(feat_ds, w_new, l2,
                                                  batch_size, concurrency)
@@ -605,7 +671,7 @@ def train_lbfgs(seq_ds, alias_types: dict[str, str], iters: int = 25,
         history.append({"iter": it + 1, "mean_obj": round(f, 6)})
         if np.linalg.norm(g) < tol:
             break
-    w_final = _unpack(x, value_ids)
+    w_final = _unpack(x, value_ids, families)
     _clamp_pad_rows(w_final)      # no-op by construction; belt+braces
     return w_final, history
 
@@ -648,7 +714,7 @@ class BlockGradWorker:
 
 def train_bcd(seq_ds, alias_types: dict[str, str], passes: int = 3,
               lr: float = 0.5, l2: float = 1e-4, batch_size: int = 256,
-              concurrency=(1, 8)):
+              concurrency=(1, 8), patterns=None):
     """Block coordinate descent — the reference's larger-than-RAM
     training regime (cf. Wapiti src/bcd.c; Lavergne, Cappe & Yvon,
     ACL 2010, reconstructed): each step updates ONE feature-family
@@ -663,10 +729,11 @@ def train_bcd(seq_ds, alias_types: dict[str, str], passes: int = 3,
     monotone on the fixture (asserted in tests)."""
     import ray
 
-    value_ids = build_feature_space(seq_ds)
-    w = TrainWeights.zeros(value_ids)
-    feat_ds = featurize(seq_ds, value_ids, alias_types)
-    blocks = list(FEATURE_FAMILIES) + ["_transstart"]
+    families, tests = _plan_from_patterns(patterns)
+    value_ids = build_feature_space(seq_ds, families=families, tests=tests)
+    w = TrainWeights.zeros(value_ids, families)
+    feat_ds = featurize(seq_ds, value_ids, alias_types, families, tests)
+    blocks = list(families) + ["_transstart"]
     history = []
     for p in range(passes):
         pass_nll = None
@@ -706,7 +773,7 @@ def train_bcd(seq_ds, alias_types: dict[str, str], passes: int = 3,
 def train_owlqn(seq_ds, alias_types: dict[str, str], iters: int = 25,
                 m: int = 8, l1: float = 1e-4, l2: float = 0.0,
                 batch_size: int = 256, concurrency=(1, 8),
-                tol: float = 1e-5):
+                tol: float = 1e-5, patterns=None):
     """Elastic-net CRF training with OWL-QN (Andrew & Gao, ICML 2007 —
     the L1-capable L-BFGS variant; covers the reference's SGD-L1
     regime, cf. Wapiti src/sgdl1.c, with batch convergence):
@@ -721,9 +788,10 @@ def train_owlqn(seq_ds, alias_types: dict[str, str], iters: int = 25,
     Every smooth evaluation is the same distributed pass train_lbfgs
     uses. Returns (TrainWeights, history) with history monotone in the
     composite objective."""
-    value_ids = build_feature_space(seq_ds)
-    w = TrainWeights.zeros(value_ids)
-    feat_ds = featurize(seq_ds, value_ids, alias_types)
+    families, tests = _plan_from_patterns(patterns)
+    value_ids = build_feature_space(seq_ds, families=families, tests=tests)
+    w = TrainWeights.zeros(value_ids, families)
+    feat_ds = featurize(seq_ds, value_ids, alias_types, families, tests)
 
     def l1_of(v: np.ndarray) -> float:
         return float(l1 * np.abs(v).sum())
@@ -773,7 +841,7 @@ def train_owlqn(seq_ds, alias_types: dict[str, str], iters: int = 25,
         for _ls in range(20):
             x_new = x + step * d
             x_new[x_new * xi < 0] = 0.0   # orthant projection
-            w_new = _unpack(x_new, value_ids)
+            w_new = _unpack(x_new, value_ids, families)
             if _ls == 0:
                 f_s_new, g_new_struct = _objective(feat_ds, w_new, l2,
                                                    batch_size, concurrency)
@@ -805,7 +873,7 @@ def train_owlqn(seq_ds, alias_types: dict[str, str], iters: int = 25,
                 rho.pop(0)
         x, f, g = x_new, f_new, g_new
         history.append({"iter": it + 1, "mean_obj": round(f, 6)})
-    w_final = _unpack(x, value_ids)
+    w_final = _unpack(x, value_ids, families)
     _clamp_pad_rows(w_final)
     return w_final, history
 
@@ -851,7 +919,7 @@ class EpochTrainer:
             f"d_{fam}": pa.array([(w.weights[fam] -
                                    self.base.weights[fam]).tobytes()],
                                  pa.binary())
-            for fam in FEATURE_FAMILIES
+            for fam in self.base.weights
         }
         payload["d_trans"] = pa.array(
             [(w.trans - self.base.trans).tobytes()], pa.binary())
@@ -864,17 +932,18 @@ class EpochTrainer:
 
 def train_perceptron(seq_ds, alias_types: dict[str, str],
                      epochs: int = 5, batch_size: int = 256,
-                     concurrency=(1, 8)):
+                     concurrency=(1, 8), patterns=None):
     """Iterative-parameter-mixing training loop. seq_ds rows:
     (tokens: list<string>, tags: list<string>). Returns the AVERAGED
     TrainWeights (average of post-epoch weights — the standard
     averaged-perceptron variance reduction at epoch granularity)."""
     import ray
 
-    value_ids = build_feature_space(seq_ds)
-    w = TrainWeights.zeros(value_ids)
-    feat_ds = featurize(seq_ds, value_ids, alias_types)
-    avg = TrainWeights.zeros(value_ids)
+    families, tests = _plan_from_patterns(patterns)
+    value_ids = build_feature_space(seq_ds, families=families, tests=tests)
+    w = TrainWeights.zeros(value_ids, families)
+    feat_ds = featurize(seq_ds, value_ids, alias_types, families, tests)
+    avg = TrainWeights.zeros(value_ids, families)
     history = []
     for _epoch in range(epochs):
         w_ref = ray.put(w)
@@ -887,7 +956,7 @@ def train_perceptron(seq_ds, alias_types: dict[str, str],
         k = max(len(parts), 1)
         n_err = int(parts["n_err"].sum()) if len(parts) else 0
         n_seq = int(parts["n_seq"].sum()) if len(parts) else 0
-        for fam in FEATURE_FAMILIES:
+        for fam in w.weights:
             shape = w.weights[fam].shape
             delta = np.zeros(shape)
             for buf in parts[f"d_{fam}"]:
@@ -902,7 +971,7 @@ def train_perceptron(seq_ds, alias_types: dict[str, str],
             dstart += np.frombuffer(buf, dtype=np.float64)
         w.start += dstart / k
         _clamp_pad_rows(w)
-        for fam in FEATURE_FAMILIES:
+        for fam in w.weights:
             avg.weights[fam] += w.weights[fam]
         avg.trans += w.trans
         avg.start += w.start
@@ -910,7 +979,7 @@ def train_perceptron(seq_ds, alias_types: dict[str, str],
         if n_err == 0:
             break
     n = len(history)
-    for fam in FEATURE_FAMILIES:
+    for fam in avg.weights:
         avg.weights[fam] /= n
     avg.trans /= n
     avg.start /= n
