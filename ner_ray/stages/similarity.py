@@ -270,8 +270,10 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
                                        concurrency=(1, 4), num_cpus=1)
     pairs = banded.groupby(["band_id", "band_key"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        Max("sim", alias_name="sim"))
+    from ner_ray.stages.neardup import _distinct_pairs
+
+    return _distinct_pairs(pairs, "vec_a", "vec_b",
+                           aggs=(Max("sim", alias_name="sim"),))
 
 
 # ------------------------------------------------ LSH-bucketed variant
