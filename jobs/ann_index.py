@@ -57,6 +57,44 @@ def main() -> None:
             assert args.out, "--out required for build"
             import time
 
+            from ner_ray.state.lineage import (
+                CheckpointManager,
+                fingerprint,
+                input_fingerprint,
+            )
+            from ner_ray.util.fsio import resolve_fs
+
+            fp = fingerprint(f"ann_{args.method}",
+                             input_fingerprint(args.embeddings),
+                             str(args.lists), str(args.iters))
+            # skip-on-rerun: a finished build stamps a manifest (with
+            # its lineage fingerprint) into the index dir; a rerun with
+            # identical inputs/config streams nothing and just records
+            # "skipped" lineage rows. Stamped through pyarrow.fs so the
+            # gate works on object-store index prefixes too.
+            fs, root = resolve_fs(args.out)
+            marker = f"{root.rstrip('/')}/_ANN_MANIFEST.json"
+            from pyarrow import fs as pafs
+
+            prev = None
+            if fs.get_file_info(marker).type == pafs.FileType.File:
+                with fs.open_input_stream(marker) as f:
+                    prev = json.loads(f.read().decode())
+            if prev and prev.get("fingerprint") == fp:
+                summary = dict(prev, skipped=True)
+                if args.checkpoint:
+                    cm = CheckpointManager(args.checkpoint)
+                    rows = cm.log_partitioned_output(
+                        f"ann_{args.method}", fp, args.out,
+                        status="skipped")
+                    summary["lineage_records"] = len(rows)
+                print(json.dumps(summary))
+                return
+            if prev is not None:
+                # stale completed index (inputs/config changed): clear
+                # it so old bucket partitions can't shadow the rebuild
+                fs.delete_dir_contents(root)
+
             t0 = time.time()
             if args.method == "ivf":
                 from ner_ray.stages.ivf import build_ivf_index, kmeans_fit
@@ -65,23 +103,18 @@ def main() -> None:
                                          iters=args.iters)
                 build_ivf_index(ds, args.out, cents)
                 summary = {"built": args.out, "method": "ivf",
-                           "lists": args.lists, "kmeans_shift": hist}
+                           "lists": args.lists, "kmeans_shift": hist,
+                           "fingerprint": fp}
             else:
                 from ner_ray.stages.similarity import build_lsh_index
 
                 build_lsh_index(ds, args.out)
-                summary = {"built": args.out, "method": "lsh"}
+                summary = {"built": args.out, "method": "lsh",
+                           "fingerprint": fp}
+            with fs.open_output_stream(marker) as f:
+                f.write(json.dumps(summary).encode())
             if args.checkpoint:
-                from ner_ray.state.lineage import (
-                    CheckpointManager,
-                    fingerprint,
-                    input_fingerprint,
-                )
-
                 cm = CheckpointManager(args.checkpoint)
-                fp = fingerprint(f"ann_{args.method}",
-                                 input_fingerprint(args.embeddings),
-                                 str(args.lists), str(args.iters))
                 rows = cm.log_partitioned_output(
                     f"ann_{args.method}", fp, args.out,
                     wall_s=time.time() - t0)

@@ -125,6 +125,14 @@ def build_graph(docs_ds, model_path: str, alias_path: str, *,
 
         cm = (checkpoint if isinstance(checkpoint, CheckpointManager)
               else CheckpointManager(checkpoint))
+        if not docs_fp:
+            # skip-on-rerun keys on this fingerprint chain; without a
+            # corpus fingerprint a rerun over DIFFERENT docs would
+            # silently return the previous run's graph.
+            raise ValueError(
+                "checkpoint= requires docs_fp (a fingerprint of the docs "
+                "corpus, e.g. input_fingerprint(docs_path)) so stale "
+                "checkpoints are not reused across corpora")
         fp_res = fingerprint("flagship_resolved", docs_fp,
                              input_fingerprint(model_path),
                              input_fingerprint(alias_path))

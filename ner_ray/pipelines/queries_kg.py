@@ -258,16 +258,20 @@ def q_span_invariant(_sf_dir: str):
     a = docs.map_batches(_sig("span_sig_in"), batch_format="pyarrow")
     b = annotated.map_batches(_sig("span_sig_out"),
                               batch_format="pyarrow").materialize()
-    joined = a.join(b, join_type="inner", num_partitions=4,
+    # FULL outer: a doc dropped (or fabricated) by annotation must show
+    # up as an equal=False row — an inner join would silently shrink,
+    # which is exactly the violation this invariant exists to catch
+    # (cf. spans.check_span_invariant's len(joined)==len(a)==len(b)).
+    joined = a.join(b, join_type="full_outer", num_partitions=4,
                     on=("doc_id",))
 
     def verdict(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        eq = pc.equal(t.column("span_sig_in"), t.column("span_sig_out"))
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "equal": pc.equal(t.column("span_sig_in"),
-                              t.column("span_sig_out")),
+            "equal": pc.coalesce(eq, pa.scalar(False)),
         })
 
     return joined.map_batches(verdict, batch_format="pyarrow")

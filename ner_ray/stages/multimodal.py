@@ -293,14 +293,26 @@ class MediaPipelineStage:
             new[1:] = (fd[1:] != fd[:-1]) | (fs[1:] != fs[:-1])
             starts = np.flatnonzero(new)
             run_lens = np.diff(np.append(starts, len(fd)))
-            if (len(starts) != len(sd)
-                    or not np.array_equal(fd[starts], sd)
-                    or not np.array_equal(fs[starts], ss)):
+            # a span may legally sample ZERO frames (max_frames=0, or a
+            # zero-length clip), so the runs are an ordered SUBSEQUENCE
+            # of the stats rows, not a bijection: left-join run lengths
+            # onto the stats keys and fill the frameless spans with 0
+            import pandas as pd
+
+            merged = pd.DataFrame({"d": sd, "s": ss}).merge(
+                pd.DataFrame({"d": fd[starts], "s": fs[starts],
+                              "n": run_lens}),
+                on=["d", "s"], how="left")
+            n_sampled = merged["n"].fillna(0).to_numpy(np.int64)
+            nz = n_sampled > 0
+            if (len(merged) != len(sd)
+                    or int(n_sampled.sum()) != len(fd)
+                    or not np.array_equal(sd[nz], fd[starts])
+                    or not np.array_equal(ss[nz], fs[starts])):
                 raise ValueError(
                     "frame rows are not grouped in stats row order — "
                     "sampler and decoder disagree on the media row "
                     "set or its ordering")
-            n_sampled = run_lens.astype(np.int64)
         offsets = pa.array(
             np.concatenate([[0], np.cumsum(n_sampled)]).astype(np.int32),
             pa.int32())

@@ -118,21 +118,33 @@ def _distinct_pairs(pairs_ds, a_col: str, b_col: str, aggs=()):
     slower (337 s vs 13 s on 3.2M pair rows at 32 CPUs, measured).
     Hash equality stands in for pair identity, the same contract
     exact_dedup already uses for text identity (64-bit stable hash;
-    collision odds ~2^-64 per pair-pair, and a collision only drops a
-    candidate pair — an epsilon recall loss, never a wrong answer).
-    ``aggs`` are extra ray.data aggregates computed per pair."""
-    from ray.data.aggregate import Min
+    collision odds ~2^-64 per pair-pair). A collision would put two
+    DISTINCT pairs in one group, where a bare Min-carry could emit a
+    row mixing fields of both (a fabricated pair); carrying Min AND
+    Max per id column and dropping groups where they disagree turns
+    that into a dropped candidate — an epsilon recall loss, never a
+    wrong answer. ``aggs`` are extra ray.data aggregates per pair."""
+    from ray.data.aggregate import Max, Min
 
     def keyed(t: pa.Table) -> pa.Table:
         k = hash_columns(t.column(a_col), t.column(b_col)).view(np.int64)
         return t.append_column("_k", pa.array(k))
 
     out_cols = [a_col, b_col] + [a.name for a in aggs]
+
+    def drop_collisions(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(pc.equal(t.column(a_col), t.column("_amax")),
+                       pc.equal(t.column(b_col), t.column("_bmax")))
+        return t.filter(mask).select(out_cols)
+
     return pairs_ds.map_batches(keyed, batch_format="pyarrow") \
         .groupby("_k").aggregate(
             Min(a_col, alias_name=a_col), Min(b_col, alias_name=b_col),
+            Max(a_col, alias_name="_amax"), Max(b_col, alias_name="_bmax"),
             *aggs) \
-        .select_columns(out_cols)
+        .map_batches(drop_collisions, batch_format="pyarrow")
 
 
 def lsh_candidate_pairs(docs_ds, text_col: str = "text"):

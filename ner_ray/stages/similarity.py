@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -185,6 +187,13 @@ DUP_BANDS = 16          # band tables
 DUP_PLANES_PER_BAND = 8  # hyperplanes per band -> 256 keys/band
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_planes(seed: int, rows: int, d: int) -> np.ndarray:
+    """Seeded hyperplane matrix, memoized per worker process so
+    stateless banding tasks don't regenerate it per batch."""
+    return np.random.default_rng(seed).standard_normal((rows, d))
+
+
 def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
                          id_col: str = "vec_id",
                          emb_col: str = "embedding", seed: int = 42,
@@ -205,25 +214,15 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
     design (use more bands for lower thresholds)."""
     from ray.data.aggregate import Max
 
-    class _BandRows:
-        """Actor-pool banding stage: the hyperplane matrix is generated
-        ONCE per actor (cached in __init__-style state, keyed by the
-        embedding dim seen in the first batch) instead of per batch —
-        same seeded RNG, so every actor derives identical planes."""
+    def planes_for_dim(d: int) -> np.ndarray:
+        # stateless task form keeps banding at full task parallelism
+        # (an actor pool here throttled the >200k-row path to its pool
+        # size); the per-worker-process lru_cache still makes plane
+        # generation once-per-worker, and the seeded RNG derives
+        # identical planes everywhere.
+        return _cached_planes(seed, n_bands * planes_per_band, d)
 
-        def __init__(self):
-            self._planes: np.ndarray | None = None
-
-        def _planes_for_dim(self, d: int) -> np.ndarray:
-            if self._planes is None or self._planes.shape[1] != d:
-                self._planes = np.random.default_rng(seed).standard_normal(
-                    (n_bands * planes_per_band, d))
-            return self._planes
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return band_rows(batch, self._planes_for_dim)
-
-    def band_rows(batch: pa.Table, planes_for_dim) -> pa.Table:
+    def band_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
             return pa.table({"band_id": pa.array([], pa.int32()),
@@ -266,8 +265,7 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
             "sim": pa.array(np.round(sims[i, j], 6), pa.float64()),
         })
 
-    banded = embeddings_ds.map_batches(_BandRows, batch_format="pyarrow",
-                                       concurrency=(1, 4), num_cpus=1)
+    banded = embeddings_ds.map_batches(band_rows, batch_format="pyarrow")
     pairs = banded.groupby(["band_id", "band_key"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
     from ner_ray.stages.neardup import _distinct_pairs
@@ -337,20 +335,10 @@ def _planes_for(d: int, seed: int, n_planes: int = N_PLANES) -> np.ndarray:
 
 
 def _resolve_fs(path: str, filesystem=None):
-    """(filesystem, fs-native path) for a local path or an object-store
-    URI (s3://..., gs://...). An explicit handle wins — the path is
-    then taken as already fs-native."""
-    from pyarrow import fs as pafs
+    """(filesystem, fs-native path) — shared rule in util.fsio."""
+    from ner_ray.util.fsio import resolve_fs
 
-    if filesystem is not None:
-        return filesystem, path
-    try:
-        return pafs.FileSystem.from_uri(path)
-    except (pa.ArrowInvalid, ValueError):
-        # bare relative path: from_uri needs a scheme or absolute path
-        import os
-
-        return pafs.LocalFileSystem(), os.path.abspath(path)
+    return resolve_fs(path, filesystem)
 
 
 def _pruned_topk(index_dir: str, prefix: str, probe_keys: set,

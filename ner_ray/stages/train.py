@@ -89,6 +89,15 @@ _LEX_FAMILIES = ["low", "shape", "pre1", "pre2", "pre3",
                  "suf1", "suf2", "suf3"]
 
 
+# Family names the trainers claim for themselves: "trans"/"start"/
+# "block" collide with the g_/d_-prefixed reduce-payload columns
+# (g_trans, g_start, g_block), "_transstart" is the BCD pseudo-block,
+# and "gaz" is routed to the gazetteer branch in _sequence_features
+# (a user template named gaz would silently never run its regex).
+_RESERVED_FAMILY_NAMES = frozenset(
+    {"trans", "start", "block", "_transstart", "gaz"})
+
+
 def _plan_from_patterns(patterns):
     """(families dict, tests tuple) for a trainer's ``patterns`` arg:
     None -> the frozen built-in layout; str -> parsed pattern file;
@@ -99,6 +108,12 @@ def _plan_from_patterns(patterns):
         from ner_ray.functions.patterns import parse_pattern_file
 
         patterns = parse_pattern_file(patterns)
+    bad = _RESERVED_FAMILY_NAMES.intersection(patterns.score_families)
+    if bad:
+        raise ValueError(
+            f"pattern template id(s) {sorted(bad)} collide with reserved "
+            f"trainer names {sorted(_RESERVED_FAMILY_NAMES)}; rename the "
+            f"template (the U<id>: prefix in the pattern file)")
     return dict(patterns.score_families), tuple(patterns.tests)
 
 

@@ -36,20 +36,47 @@ def fingerprint(*parts: str) -> str:
     return f"{hash_str('|'.join(str(p) for p in parts)) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
-def input_fingerprint(path: str) -> str:
-    """Fingerprint of an input file/dir: paths + sizes + mtimes-ns."""
+def input_fingerprint(path: str, filesystem=None) -> str:
+    """Fingerprint of an input file/dir: paths + sizes + mtimes-ns.
+    Goes through pyarrow.fs so an s3://... input fingerprints the same
+    way a local one does (mtime_ns may be None on object stores; the
+    path+size pair still changes with any rewrite there)."""
+    from pyarrow import fs as pafs
+
+    from ner_ray.util.fsio import resolve_fs
+
+    fs, root = resolve_fs(path, filesystem)
+    info = fs.get_file_info(root)
     entries = []
-    if os.path.isdir(path):
-        for root, dirs, files in os.walk(path):
-            dirs.sort()  # deterministic traversal across filesystems
-            for f in sorted(files):
-                p = os.path.join(root, f)
-                st = os.stat(p)
-                entries.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    if info.type == pafs.FileType.Directory:
+        for e in sorted(fs.get_file_info(
+                pafs.FileSelector(root, recursive=True)),
+                key=lambda e: e.path):
+            if e.type == pafs.FileType.File:
+                entries.append(f"{e.path}:{e.size}:{e.mtime_ns}")
+    elif info.type == pafs.FileType.File:
+        entries.append(f"{root}:{info.size}:{info.mtime_ns}")
     else:
-        st = os.stat(path)
-        entries.append(f"{path}:{st.st_size}:{st.st_mtime_ns}")
+        raise FileNotFoundError(path)
     return fingerprint(*entries)
+
+
+def _partition_rows(out_dir: str, filesystem=None) -> list[tuple[str, int]]:
+    """Sorted (fs-relative path, num_rows) for every data parquet file
+    under ``out_dir`` — the single partition-enumeration rule shared by
+    run_stage manifests and log_partitioned_output (sidecars skipped
+    identically in both)."""
+    import pyarrow.parquet as pq
+
+    from ner_ray.util.fsio import list_data_files
+
+    fs, root, paths = list_data_files(out_dir, filesystem)
+    out = []
+    for p in paths:
+        with fs.open_input_file(p) as f:
+            n = pq.read_metadata(f).num_rows
+        out.append((p[len(root):].lstrip("/"), int(n)))
+    return out
 
 
 class CheckpointManager:
@@ -73,28 +100,21 @@ class CheckpointManager:
 
     def log_partitioned_output(self, stage: str, fp: str, out_dir: str,
                                wall_s: float = 0.0,
-                               status: str = "computed") -> list[dict]:
+                               status: str = "computed",
+                               filesystem=None) -> list[dict]:
         """Append per-partition lineage rows for an output directory
         written OUTSIDE run_stage (e.g. the ANN index builders, which
         own their partition layout + sidecar files). One row per
-        parquet data file; sidecars (underscore-prefixed) are skipped."""
-        import pyarrow.parquet as pq
-
-        rows = []
-        pid = 0
-        for root, dirs, files in os.walk(out_dir):
-            dirs.sort()
-            for f in sorted(files):
-                if not f.endswith(".parquet") or f.startswith("_"):
-                    continue
-                n = pq.read_metadata(os.path.join(root, f)).num_rows
-                rows.append({
-                    "stage": stage, "partition_id": pid,
-                    "input_fingerprint": fp, "rows_in": -1,
-                    "rows_out": int(n), "wall_s": round(wall_s, 4),
-                    "status": status,
-                })
-                pid += 1
+        parquet data file; sidecars (underscore-prefixed) are skipped.
+        ``out_dir`` may be an object-store URI (the lineage log itself
+        stays on the local checkpoint root)."""
+        rows = [{
+            "stage": stage, "partition_id": pid,
+            "input_fingerprint": fp, "rows_in": -1,
+            "rows_out": n, "wall_s": round(wall_s, 4),
+            "status": status,
+        } for pid, (_, n) in enumerate(
+            _partition_rows(out_dir, filesystem))]
         self._log(rows)
         return rows
 
@@ -137,21 +157,10 @@ class CheckpointManager:
             ds.write_parquet(tmp)
         wall = time.time() - t0
 
-        partitions = []
-        pid = 0
-        for root, _dirs, files in os.walk(tmp):
-            for f in sorted(files):
-                if not f.endswith(".parquet"):
-                    continue
-                import pyarrow.parquet as pq
-
-                rows = pq.read_metadata(os.path.join(root, f)).num_rows
-                partitions.append({
-                    "partition_id": pid,
-                    "file": os.path.relpath(os.path.join(root, f), tmp),
-                    "rows": rows,
-                })
-                pid += 1
+        partitions = [
+            {"partition_id": pid, "file": rel, "rows": rows}
+            for pid, (rel, rows) in enumerate(_partition_rows(tmp))
+        ]
         manifest = {
             "stage": name, "fingerprint": fp, "wall_s": round(wall, 3),
             "partitions": partitions,

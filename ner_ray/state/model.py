@@ -189,7 +189,12 @@ def put_bundle(model_path: str, alias_path: str, families=None):
 # mirrors that shape (not byte-compatible): weights serialize with
 # float.hex() so a round trip is bit-exact.
 
-_TEXT_MAGIC = "#ner_ray_model#1"
+# v1 wrote feature/label values verbatim; v2 escapes \\ \t \n \r so
+# %m-extracted values can't corrupt the tab/line framing. Export always
+# writes v2; import accepts both and only un-escapes v2 (a v1 file with
+# a literal backslash must round-trip unchanged).
+_TEXT_MAGIC = "#ner_ray_model#2"
+_TEXT_MAGIC_V1 = "#ner_ray_model#1"
 
 
 def _esc(s: str) -> str:
@@ -243,8 +248,9 @@ def import_model_text(text: str):
     from ner_ray import schema as S
 
     lines = text.rstrip("\n").split("\n")
-    if not lines or lines[0] != _TEXT_MAGIC:
+    if not lines or lines[0] not in (_TEXT_MAGIC, _TEXT_MAGIC_V1):
         raise ValueError("not a ner_ray text model (bad magic)")
+    unesc = _unesc if lines[0] == _TEXT_MAGIC else (lambda s: s)
     if len(lines) < 2 or not lines[1].startswith("#patterns#"):
         raise ValueError("missing #patterns# section")
     n_pat = int(lines[1].split("#")[-1])
@@ -265,8 +271,8 @@ def import_model_text(text: str):
     feats, labels, ws = [], [], []
     for r in rows:
         f, l, w = r.split("\t")
-        feats.append(_unesc(f))
-        labels.append(_unesc(l))
+        feats.append(unesc(f))
+        labels.append(unesc(l))
         ws.append(float.fromhex(w))
     tbl = pa.table({"feature": feats, "label": labels, "weight": ws},
                    schema=S.CRF_MODEL)
