@@ -277,6 +277,96 @@ def range_join(ds, intervals: pd.DataFrame, ts_col: str,
                           concurrency=(1, 4), num_cpus=1)
 
 
+def range_join_keyed(ds, intervals: pd.DataFrame, key: str, ts_col: str,
+                     start_col: str = "start", end_col: str = "end"):
+    """Keyed range join: a left row matches intervals with the SAME
+    ``key`` value and start <= ts <= end. Same broadcast + two-
+    searchsorted + offset-gather core as range_join, applied per key:
+    intervals sort by (key, start) once at broadcast time and each
+    batch matches against only its keys' slices, so one key's giant
+    interval set never inflates another key's candidate window (the
+    global max_len pathology). The interval table remains the small
+    broadcast side; for interval tables beyond broadcast, hash both
+    sides by key first and apply this inside map_groups."""
+    import ray
+
+    iv = intervals.sort_values([key, start_col],
+                               kind="stable").reset_index(drop=True)
+
+    def _signed(a: np.ndarray) -> np.ndarray:
+        return a.astype(np.int64) if a.dtype.kind == "u" else a
+
+    starts = _signed(iv[start_col].to_numpy())
+    ends = _signed(iv[end_col].to_numpy())
+    if (ends < starts).any():
+        raise ValueError("interval end < start")
+    # per-key slices + per-key max interval length
+    slices: dict = {}
+    for k, g in iv.groupby(key, sort=False):
+        lo, hi = int(g.index[0]), int(g.index[-1]) + 1
+        s, e = starts[lo:hi], ends[lo:hi]
+        slices[k] = (lo, hi, int((e - s).max()) if hi > lo else 0)
+    ref = ray.put((iv, starts, ends, slices))
+
+    class _KeyedRange:
+        def __init__(self):
+            self.iv, self.starts, self.ends, self.slices = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            dup = (set(batch.columns) & set(self.iv.columns)) - {key}
+            if dup:
+                raise ValueError(
+                    f"range_join_keyed column collision {sorted(dup)}: "
+                    f"rename the interval columns before joining")
+            ivcols = [c for c in self.iv.columns if c != key]
+            empty = pd.concat(
+                [batch.iloc[:0].reset_index(drop=True),
+                 self.iv[ivcols].iloc[:0].reset_index(drop=True)], axis=1)
+            if len(batch) == 0 or not self.slices:
+                return empty
+            row_parts, idx_parts = [], []
+            keys = batch[key].to_numpy()
+            ts_all = _signed(batch[ts_col].to_numpy())
+            # group batch rows by key (few distinct keys per batch);
+            # within each key the match is fully vectorized
+            order = np.argsort(keys, kind="stable")
+            bounds = np.flatnonzero(
+                np.r_[True, keys[order][1:] != keys[order][:-1]])
+            for gi, glo in enumerate(bounds):
+                ghi = bounds[gi + 1] if gi + 1 < len(bounds) else len(order)
+                rows_k = order[glo:ghi]
+                sl = self.slices.get(keys[rows_k[0]])
+                if sl is None:
+                    continue
+                lo0, hi0, max_len = sl
+                s = self.starts[lo0:hi0]
+                ts = ts_all[rows_k]
+                lo = np.searchsorted(s, ts - max_len, "left")
+                hi = np.searchsorted(s, ts, "right")
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                rr = np.repeat(rows_k, cnt)
+                ii = lo0 + np.repeat(lo, cnt) + (
+                    np.arange(total)
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                keep = self.ends[ii] >= ts_all[rr]
+                row_parts.append(rr[keep])
+                idx_parts.append(ii[keep])
+            if not row_parts:
+                return empty
+            rows = np.concatenate(row_parts)
+            iidx = np.concatenate(idx_parts)
+            out = batch.iloc[rows].reset_index(drop=True)
+            return pd.concat(
+                [out, self.iv[ivcols].iloc[iidx].reset_index(drop=True)],
+                axis=1)
+
+    return ds.map_batches(_KeyedRange, batch_format="pandas",
+                          concurrency=(1, 4), num_cpus=1)
+
+
 def asof_join_keyed(left, right, key: str, left_ts: str, right_ts: str,
                     direction: str = "backward"):
     """Keyed as-of join (J5): co-locate by key via groupby, sort within

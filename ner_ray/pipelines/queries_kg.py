@@ -235,7 +235,6 @@ def q_span_invariant(_sf_dir: str):
     import ray.data as rd
 
     from ner_ray.stages.annotate import AnnotateDocsActor
-    from ner_ray.stages.spans import spans_signature
     from ner_ray.state.model import put_bundle
 
     fx = _fx()
@@ -245,36 +244,12 @@ def q_span_invariant(_sf_dir: str):
         AnnotateDocsActor, fn_constructor_kwargs={"bundle": bundle},
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
 
-    def _sig(col_name):
-        def f(t: pa.Table) -> pa.Table:
-            return spans_signature(t).rename_columns(["doc_id", col_name])
-        return f
-
     # distributed check: per-doc signatures never leave the cluster —
-    # a Dataset hash join + boolean kernel replaces the old driver-side
-    # pandas merge (which materialized one row per doc on the driver).
-    # The annotated side is an actor pool; materialize it before the
-    # JoinOperator (deadlock note at canon.py:236).
-    a = docs.map_batches(_sig("span_sig_in"), batch_format="pyarrow")
-    b = annotated.map_batches(_sig("span_sig_out"),
-                              batch_format="pyarrow").materialize()
-    # FULL outer: a doc dropped (or fabricated) by annotation must show
-    # up as an equal=False row — an inner join would silently shrink,
-    # which is exactly the violation this invariant exists to catch
-    # (cf. spans.check_span_invariant's len(joined)==len(a)==len(b)).
-    joined = a.join(b, join_type="full_outer", num_partitions=4,
-                    on=("doc_id",))
+    # a Dataset full-outer join + boolean kernel (spans.py) replaces
+    # the old driver-side pandas merge.
+    from ner_ray.stages.spans import span_invariant_verdicts
 
-    def verdict(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        eq = pc.equal(t.column("span_sig_in"), t.column("span_sig_out"))
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "equal": pc.coalesce(eq, pa.scalar(False)),
-        })
-
-    return joined.map_batches(verdict, batch_format="pyarrow")
+    return span_invariant_verdicts(docs, annotated)
 
 
 @q("q_train_eval")

@@ -86,6 +86,37 @@ def spans_signature(batch: pa.Table) -> pa.Table:
     )
 
 
+def span_invariant_verdicts(input_ds, output_ds, num_partitions: int = 4):
+    """Distributed Q6 check: per-doc (doc_id, equal) Dataset. A doc
+    dropped or fabricated on either side surfaces as equal=False via
+    the FULL outer join (an inner join would silently shrink — the
+    exact violation the invariant exists to catch). The output side is
+    materialized first when it hangs off an actor pool (JoinOperator
+    scheduling note at canon.py:236)."""
+
+    def _sig(col_name):
+        def f(t: pa.Table) -> pa.Table:
+            return spans_signature(t).rename_columns(["doc_id", col_name])
+        return f
+
+    a = input_ds.map_batches(_sig("span_sig_in"), batch_format="pyarrow")
+    b = output_ds.map_batches(_sig("span_sig_out"),
+                              batch_format="pyarrow").materialize()
+    joined = a.join(b, join_type="full_outer",
+                    num_partitions=num_partitions, on=("doc_id",))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        eq = pc.equal(t.column("span_sig_in"), t.column("span_sig_out"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "equal": pc.coalesce(eq, pa.scalar(False)),
+        })
+
+    return joined.map_batches(verdict, batch_format="pyarrow")
+
+
 def check_span_invariant(input_ds, output_ds) -> bool:
     """True iff every doc's span signature in output equals the input's
     (order-sensitive). Both datasets must carry doc_id + spans."""

@@ -454,7 +454,7 @@ class SGDEpochTrainer:
 
 def train_sgd(seq_ds, alias_types: dict[str, str], epochs: int = 10,
               lr: float = 0.5, l2: float = 1e-4, batch_size: int = 256,
-              concurrency=(1, 8), patterns=None):
+              concurrency=(1, 8), patterns=None, lr_decay: float = 0.0):
     """Distributed CRF log-likelihood training: per-batch gradient
     partials inside map_batches, summed on the driver, one (full-batch)
     gradient step per epoch with L2 — the map/reduce form of the
@@ -462,7 +462,11 @@ def train_sgd(seq_ds, alias_types: dict[str, str], epochs: int = 10,
 
     ``patterns`` (pattern-file text or a PatternSet) substitutes the
     frozen built-in feature layout with the file's %x/%t/%m families —
-    serve the result through TaggerActor(patterns=<same patterns>)."""
+    serve the result through TaggerActor(patterns=<same patterns>).
+
+    ``lr_decay`` > 0 anneals the step as lr/(1 + lr_decay*epoch)
+    (Bottou's 1/t schedule): large early steps, stable late epochs.
+    Default 0.0 keeps the constant-step behavior."""
     import ray
 
     families, tests = _plan_from_patterns(patterns)
@@ -471,13 +475,15 @@ def train_sgd(seq_ds, alias_types: dict[str, str], epochs: int = 10,
     feat_ds = featurize(seq_ds, value_ids, alias_types, families, tests)
     history = []
     for epoch in range(epochs):
+        step = lr / (1.0 + lr_decay * epoch)
         nll, g, _n = _grad_pass(feat_ds, w, batch_size, concurrency)
         for fam in w.weights:
-            w.weights[fam] -= lr * (g.weights[fam] + l2 * w.weights[fam])
-        w.trans -= lr * (g.trans + l2 * w.trans)
-        w.start -= lr * (g.start + l2 * w.start)
+            w.weights[fam] -= step * (g.weights[fam] + l2 * w.weights[fam])
+        w.trans -= step * (g.trans + l2 * w.trans)
+        w.start -= step * (g.start + l2 * w.start)
         _clamp_pad_rows(w)
-        history.append({"epoch": epoch, "mean_nll": round(nll, 6)})
+        history.append({"epoch": epoch, "mean_nll": round(nll, 6),
+                        "lr": round(step, 6)})
     return w, history
 
 

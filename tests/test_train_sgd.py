@@ -116,3 +116,27 @@ def test_sgd_training_reduces_nll_and_learns(ray_session, tiny_dir):
     texts = pd.Series([" ".join(r["tokens"]) for r in rows], dtype=object)
     mentions = tag_spans(texts, bundle, gaz_row)
     assert len(mentions.flatten()) > 0
+
+
+@pytest.mark.slow
+def test_sgd_lr_decay_schedule(ray_session, tiny_dir):
+    """lr_decay anneals the recorded step as lr/(1+decay*epoch) and
+    training still reduces NLL."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ner_ray.stages.train import train_sgd
+    from tests.test_train import _training_table
+
+    rows = _training_table(tiny_dir)[:80]
+    alias_tbl = pq.read_table(f"{tiny_dir}/alias.parquet")
+    alias_types = dict(zip(alias_tbl.column("alias").to_pylist(),
+                           alias_tbl.column("ne_type").to_pylist()))
+    seq_ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"tokens": r["tokens"], "tags": r["tags"]} for r in rows]))
+    w, history = train_sgd(seq_ds, alias_types, epochs=4, lr=0.8,
+                           lr_decay=0.5, batch_size=64,
+                           concurrency=(1, 2))
+    steps = [h["lr"] for h in history]
+    assert steps == [round(0.8 / (1 + 0.5 * t), 6) for t in range(4)]
+    assert history[-1]["mean_nll"] < history[0]["mean_nll"]
