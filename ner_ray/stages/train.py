@@ -899,6 +899,68 @@ def train_owlqn(seq_ds, alias_types: dict[str, str], iters: int = 25,
     return w_final, history
 
 
+def train_rprop(seq_ds, alias_types: dict[str, str], iters: int = 15,
+                l2: float = 1e-4, step0: float = 0.1,
+                step_min: float = 1e-6, step_max: float = 5.0,
+                eta_plus: float = 1.2, eta_minus: float = 0.5,
+                batch_size: int = 256, concurrency=(1, 8),
+                patterns=None):
+    """Resilient propagation — the reference's fourth optimizer family
+    (cf. Wapiti src/rprop.c, reconstructed; Riedmiller & Braun 1993,
+    with the iRprop- modification of Igel & Huesken 2000). Full-batch
+    sign-only updates with a per-weight adaptive step size:
+
+    * same gradient sign as last iteration -> grow that weight's step
+      (x eta_plus, capped at step_max);
+    * flipped sign -> the previous step overshot: shrink the step
+      (x eta_minus, floored at step_min) and SKIP the update this
+      iteration (iRprop-: zero the gradient so the next comparison
+      starts fresh);
+    * update = -sign(g) * step, per weight — magnitudes never enter,
+      which is what makes RProp robust to the wildly different
+      per-feature gradient scales of a sparse CRF.
+
+    Each iteration is ONE distributed gradient pass (the same
+    map_batches partials every other trainer uses); the driver holds
+    the parameter, step-size, and previous-sign vectors. Pad/OOV rows
+    have their gradient projected to zero by _objective, so sign(0)=0
+    keeps them frozen without special-casing. No line search, so the
+    objective is not strictly monotone; tests assert net progress and
+    a servable held-out F1 instead.
+
+    Returns (TrainWeights, history) with one mean-objective entry per
+    iteration."""
+    families, tests = _plan_from_patterns(patterns)
+    value_ids = build_feature_space(seq_ds, families=families, tests=tests)
+    w = TrainWeights.zeros(value_ids, families)
+    feat_ds = featurize(seq_ds, value_ids, alias_types, families, tests)
+
+    x = _pack(w)
+    f, g_struct = _objective(feat_ds, w, l2, batch_size, concurrency)
+    g = _pack(g_struct)
+    delta = np.full_like(x, step0)
+    g_prev = np.zeros_like(x)
+    history = [{"iter": 0, "mean_obj": round(f, 6)}]
+    for it in range(iters):
+        prod = g * g_prev
+        delta = np.where(prod > 0.0,
+                         np.minimum(delta * eta_plus, step_max),
+                         np.where(prod < 0.0,
+                                  np.maximum(delta * eta_minus, step_min),
+                                  delta))
+        g_eff = np.where(prod < 0.0, 0.0, g)
+        x = x - np.sign(g_eff) * delta
+        g_prev = g_eff
+        w_it = _unpack(x, value_ids, families)
+        f, g_struct = _objective(feat_ds, w_it, l2, batch_size,
+                                 concurrency)
+        g = _pack(g_struct)
+        history.append({"iter": it + 1, "mean_obj": round(f, 6)})
+    w_final = _unpack(x, value_ids, families)
+    _clamp_pad_rows(w_final)
+    return w_final, history
+
+
 class EpochTrainer:
     """map_batches worker: sequential perceptron over the batch's
     sequences on a LOCAL weight copy; returns the dense delta."""
