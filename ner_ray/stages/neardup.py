@@ -6,6 +6,9 @@
 * SimHash            — 64-bit simhash -> 4x16-bit band buckets ->
                        Hamming-verify candidates
 * n-gram Jaccard     — vectorized set-overlap verification
+* near_dedup_docs    — pairs -> connected components -> keep min-id
+                       representative -> anti-filter (corpus REMOVAL,
+                       size-dispatched broadcast/bucketed anti)
 
 Candidate generation shuffles only (band_hash, doc_id) pairs or
 partial aggregates, never raw documents; the verify stage joins the
@@ -366,6 +369,142 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
 
 
 # ------------------------------------------------------- exact dedup
+
+
+MAX_BROADCAST_DROPS = 2_000_000  # drop ids; above this, bucketed anti
+
+
+def near_dedup_docs(docs_ds, method: str = "minhash",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    pairs_ds=None, a_col: str = "doc_a",
+                    b_col: str = "doc_b",
+                    max_broadcast_drops: int = MAX_BROADCAST_DROPS,
+                    num_buckets: int = 64, **detector_kwargs):
+    """Corpus-level near-duplicate REMOVAL — the operator a training-
+    data pipeline actually wants on top of pair listing: detect pairs,
+    cluster them into connected components, keep ONE representative per
+    cluster (the lexicographic-min id — deterministic), drop the rest.
+
+    * ``method``: "minhash" | "simhash" | "embedding" (dispatches to
+      the corresponding pair detector with ``detector_kwargs``), or
+      pass precomputed ``pairs_ds`` with ``a_col``/``b_col`` key
+      columns (e.g. winnow_dup_candidates output) and any method.
+    * components reuse ``canon.canonicalize``'s size dispatch (driver
+      union-find under 2M edges, distributed groupby-min label
+      propagation above). Near-dup clusters can chain, so the
+      propagation round bound applies: a pathological chain deeper
+      than canon.MAX_ROUNDS raises rather than silently under-merging.
+    * the final anti-filter dispatches by drop count: at or below
+      ``max_broadcast_drops`` the drop-id set broadcasts and the corpus
+      streams through an is_in filter (NO shuffle of the corpus);
+      above, the corpus and drop keys are hash-bucketed and anti-
+      filtered per bucket in map_groups — one corpus shuffle, exact,
+      and safe for list<>-typed payload columns that Dataset.join's
+      Acero backend rejects.
+
+    Returns the surviving docs Dataset with all input columns.
+    Idempotent: re-running on the output finds no pairs."""
+    import ray.data as rd
+
+    from ner_ray.stages.canon import canonicalize
+
+    if pairs_ds is None:
+        if method == "minhash":
+            pairs_ds = minhash_near_dups(docs_ds, text_col=text_col,
+                                         **detector_kwargs)
+        elif method == "simhash":
+            pairs_ds = simhash_near_dups(docs_ds, **detector_kwargs)
+        elif method == "embedding":
+            from ner_ray.stages.similarity import cosine_dup_pairs
+
+            pairs_ds = cosine_dup_pairs(docs_ds, id_col=id_col,
+                                        **detector_kwargs)
+            a_col, b_col = "vec_a", "vec_b"
+        else:
+            raise ValueError(f"unknown near-dedup method: {method!r}")
+
+    def pair_edges(t: pa.Table) -> pa.Table:
+        # one edge row per pair endpoint, alias = the pair itself:
+        # components over "appears in a pair together"
+        a = t.column(a_col).cast(pa.string())
+        b = t.column(b_col).cast(pa.string())
+        key = pc.binary_join_element_wise(a, b, "\x1f")
+        return pa.table({
+            "entity_id": pa.concat_arrays([a.combine_chunks(),
+                                           b.combine_chunks()]),
+            "alias": pa.concat_arrays([key.combine_chunks()] * 2),
+        })
+
+    edges = pairs_ds.map_batches(pair_edges,
+                                 batch_format="pyarrow").materialize()
+    if edges.count() == 0:      # no dups at all (e.g. a re-run)
+        return docs_ds
+    comp = canonicalize(edges)
+
+    def non_canonical(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("entity_id"),
+                            t.column("canonical_id"))
+        return t.filter(keep).select(["entity_id"])
+
+    drops = comp.map_batches(non_canonical,
+                             batch_format="pyarrow").materialize()
+    n_drops = drops.count()
+    if n_drops == 0:
+        return docs_ds
+    key_type = None
+    for b in docs_ds.limit(1).iter_batches(batch_format="pyarrow"):
+        key_type = b.schema.field(id_col).type
+
+    if n_drops <= max_broadcast_drops:
+        from ner_ray.functions.joins import semi_join
+
+        ids = pa.concat_arrays(
+            [b.column("entity_id").combine_chunks()
+             for b in drops.iter_batches(batch_format="pyarrow")])
+        if key_type is not None and key_type != pa.string():
+            ids = ids.cast(key_type)
+        return semi_join(docs_ds, ids.to_pylist(), on=id_col, anti=True)
+
+    # bucketed anti: union null-padded drop-key rows with the corpus,
+    # hash-bucket on the key, filter each bucket's doc rows against its
+    # drop ids (the bucketed_hash_join pattern — list-safe because the
+    # payload rides through groupby/map_groups untouched)
+    names, types = [], []
+    for b in docs_ds.limit(1).iter_batches(batch_format="pyarrow"):
+        names, types = list(b.schema.names), list(b.schema.types)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        b = (hash_column(t.column(id_col)) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+        t = t.append_column("_bucket", pa.array(b))
+        return t.append_column("_is_drop",
+                               pa.array(np.zeros(len(t), np.int8)))
+
+    def tag_drops(t: pa.Table) -> pa.Table:
+        key = t.column("entity_id")
+        if key_type is not None and key_type != pa.string():
+            key = key.cast(key_type)
+        cols = {n: (key if n == id_col else pa.nulls(len(t), ty))
+                for n, ty in zip(names, types)}
+        out = pa.table(cols)
+        b = (hash_column(key) % np.uint64(num_buckets)).astype(np.int64)
+        out = out.append_column("_bucket", pa.array(b))
+        return out.append_column("_is_drop",
+                                 pa.array(np.ones(len(t), np.int8)))
+
+    both = docs_ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        drops.map_batches(tag_drops, batch_format="pyarrow"))
+
+    def anti_bucket(g: pa.Table) -> pa.Table:
+        is_drop = pc.equal(g.column("_is_drop"), pa.scalar(1, pa.int8()))
+        drop_ids = g.filter(is_drop).column(id_col)
+        doc_rows = g.filter(pc.invert(is_drop))
+        mask = pc.invert(pc.is_in(doc_rows.column(id_col),
+                                  value_set=drop_ids.combine_chunks()))
+        return doc_rows.filter(mask).drop_columns(["_bucket", "_is_drop"])
+
+    return both.groupby("_bucket").map_groups(anti_bucket,
+                                              batch_format="pyarrow")
 
 
 def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -1,0 +1,117 @@
+"""near_dedup_docs: corpus-level near-duplicate removal — detector
+pairs cluster into components, one min-id representative survives per
+cluster, both anti-filter paths agree, list payload columns survive
+the bucketed path, and the operator is idempotent."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _dup_corpus():
+    """3-doc near-dup cluster (a0,a1,a2), 2-doc cluster (b0,b1), two
+    singletons. Texts differ by one trailing token so shingle Jaccard
+    stays high but not 1.0."""
+    base_a = "the quick brown fox jumps over the lazy dog again and again"
+    base_b = "colorless green ideas sleep furiously every single night"
+    rows = [
+        {"doc_id": "a0", "text": base_a},
+        {"doc_id": "a1", "text": base_a + " ok"},
+        {"doc_id": "a2", "text": base_a + " yes"},
+        {"doc_id": "b0", "text": base_b},
+        {"doc_id": "b1", "text": base_b + " too"},
+        {"doc_id": "c0", "text": "completely unrelated text about ray data pipelines"},
+        {"doc_id": "d0", "text": "another singleton document with its own words"},
+    ]
+    # a list<> payload column: survives only the list-safe paths
+    for i, r in enumerate(rows):
+        r["tags_list"] = [f"t{i}", f"u{i}"]
+    return rows
+
+
+def _ids(ds):
+    return sorted(b for batch in ds.iter_batches(batch_format="pyarrow")
+                  for b in batch.column("doc_id").to_pylist())
+
+
+@pytest.fixture()
+def dup_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(_dup_corpus()))
+
+
+def test_minhash_removal_keeps_min_per_cluster(ray_session, dup_ds):
+    from ner_ray.stages.neardup import near_dedup_docs
+
+    out = near_dedup_docs(dup_ds, method="minhash", threshold=0.5)
+    assert _ids(out) == ["a0", "b0", "c0", "d0"]
+
+
+def test_bucketed_path_matches_broadcast_and_keeps_lists(ray_session,
+                                                         dup_ds):
+    from ner_ray.stages.neardup import near_dedup_docs
+
+    out = near_dedup_docs(dup_ds, method="minhash", threshold=0.5,
+                          max_broadcast_drops=0, num_buckets=4)
+    assert _ids(out) == ["a0", "b0", "c0", "d0"]
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert pa.types.is_list(t.schema.field("tags_list").type)
+    by_id = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("tags_list").to_pylist()))
+    assert by_id["a0"] == ["t0", "u0"]  # payload intact, not nulled
+
+
+def test_idempotent(ray_session, dup_ds):
+    from ner_ray.stages.neardup import near_dedup_docs
+
+    once = near_dedup_docs(dup_ds, method="minhash",
+                           threshold=0.5).materialize()
+    twice = near_dedup_docs(once, method="minhash", threshold=0.5)
+    assert _ids(twice) == _ids(once)
+
+
+def test_embedding_method_int_ids(ray_session):
+    import ray.data as rd
+
+    from ner_ray.stages.neardup import near_dedup_docs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(6):
+        if i < 3:           # cluster: tiny perturbations of one vector
+            v = base + 1e-3 * rng.standard_normal(8)
+        else:               # independent random directions: expected
+            # |cosine| ~ 1/sqrt(8), far below the 0.99 threshold
+            v = rng.standard_normal(8)
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = near_dedup_docs(ds, method="embedding", id_col="vec_id",
+                          threshold=0.99)
+    ids = sorted(b for batch in out.iter_batches(batch_format="pyarrow")
+                 for b in batch.column("vec_id").to_pylist())
+    assert ids == [0, 3, 4, 5]
+    # id column keeps its integer type through the string-keyed
+    # component step
+    t = next(iter(out.iter_batches(batch_format="pyarrow")))
+    assert pa.types.is_integer(t.schema.field("vec_id").type)
+
+
+def test_precomputed_pairs_chain_transitive(ray_session):
+    """A chain a-b, b-c (b only pairs with each neighbor) collapses to
+    ONE component — removal is transitive, not pairwise."""
+    import ray.data as rd
+
+    from ner_ray.stages.neardup import near_dedup_docs
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ["a", "b", "c", "z"],
+        "text": ["x", "x", "x", "y"],
+    }))
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": ["a", "b"], "doc_b": ["b", "c"],
+    }))
+    out = near_dedup_docs(docs, pairs_ds=pairs)
+    assert _ids(out) == ["a", "z"]
