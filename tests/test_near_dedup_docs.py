@@ -99,6 +99,48 @@ def test_embedding_method_int_ids(ray_session):
     assert pa.types.is_integer(t.schema.field("vec_id").type)
 
 
+@pytest.mark.slow
+def test_near_dedup_job_skip_on_rerun(tmp_path):
+    """jobs/near_dedup.py: bucketed survivor output, fingerprint
+    manifest, identical rerun skips and logs 'skipped' lineage."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = str(tmp_path)
+    docs = f"{tmp}/docs.parquet"
+    pq.write_table(pa.Table.from_pylist(
+        [{"doc_id": r["doc_id"], "text": r["text"]}
+         for r in _dup_corpus()]), docs)
+
+    def run():
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "near_dedup.py"),
+             "--docs", docs, "--out", f"{tmp}/out",
+             "--checkpoint", f"{tmp}/ckpt", "--threshold", "0.5",
+             "--n-buckets", "2", "--num-cpus", "4"],
+            capture_output=True, text=True, cwd=repo, timeout=600)
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["survivors"] == 4 and s1["dropped"] == 3, s1
+    ids = sorted(pq.read_table(f"{tmp}/out",
+                               columns=["doc_id"])["doc_id"].to_pylist())
+    assert ids == ["a0", "b0", "c0", "d0"]
+
+    r2 = run()
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2.get("skipped") is True, s2
+    lineage = [json.loads(ln) for ln in
+               open(f"{tmp}/ckpt/lineage.jsonl", encoding="utf-8")]
+    assert any(row["status"] == "skipped" for row in lineage)
+
+
 def test_precomputed_pairs_chain_transitive(ray_session):
     """A chain a-b, b-c (b only pairs with each neighbor) collapses to
     ONE component — removal is transitive, not pairwise."""
