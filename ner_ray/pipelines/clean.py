@@ -1,0 +1,123 @@
+"""C4-style corpus cleaning for training-data pipelines: one fused
+per-row quality/language filter (map-only, streaming — no shuffle),
+then optional exact dedup and near-dedup removal stages composed from
+the neardup suite.
+
+The filter thresholds follow the public C4/Gopher-rule shape (word
+count, mean word length, distinct-word ratio, language-ID score) but
+every kernel is this repo's own (stages/textstats.py); nothing is
+tuned to an external corpus. All stages preserve the input columns —
+the span-sequence invariant holds through cleaning by construction
+because rows are only ever dropped, never rewritten.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ner_ray.stages.textstats import LangIdStage, quality_batch
+
+
+class QualityFilterStage:
+    """Fused quality + language-ID row filter (actor pool: stopword
+    profiles built once per actor). Computes the metrics inline on a
+    (doc_id, text) view of the batch and filters the ORIGINAL batch,
+    so arbitrary payload columns pass through untouched. Null texts
+    are treated as empty (and thus dropped by any min_words >= 1)."""
+
+    def __init__(self, text_col: str, id_col: str, min_words: int,
+                 min_mean_word_len: float, max_mean_word_len: float,
+                 min_uniq_ratio: float, langs, min_lang_score: float):
+        self.text_col, self.id_col = text_col, id_col
+        self.min_words = min_words
+        self.min_mwl, self.max_mwl = min_mean_word_len, max_mean_word_len
+        self.min_uniq = min_uniq_ratio
+        self.langs = frozenset(langs) if langs else None
+        self.min_lang_score = min_lang_score
+        self.langid = LangIdStage() if self.langs else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        view = pa.table({
+            "doc_id": batch.column(self.id_col),
+            "text": pc.fill_null(batch.column(self.text_col), ""),
+        })
+        q = quality_batch(view)
+        n_words = q.column("n_words").to_numpy(zero_copy_only=False)
+        mwl = q.column("mean_word_len").to_numpy(zero_copy_only=False)
+        uniq = q.column("uniq_ratio").to_numpy(zero_copy_only=False)
+        keep = ((n_words >= self.min_words)
+                & (mwl >= self.min_mwl) & (mwl <= self.max_mwl)
+                & (uniq >= self.min_uniq))
+        if self.langid is not None:
+            lid = self.langid(view)
+            lang_ok = np.isin(
+                lid.column("pred_lang").to_numpy(zero_copy_only=False),
+                list(self.langs))
+            score = lid.column("lang_score") \
+                .to_numpy(zero_copy_only=False)
+            keep &= lang_ok & (score >= self.min_lang_score)
+        return batch.filter(pa.array(keep))
+
+
+def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                 min_words: int = 5, min_mean_word_len: float = 2.0,
+                 max_mean_word_len: float = 15.0,
+                 min_uniq_ratio: float = 0.1, langs=("en",),
+                 min_lang_score: float = 0.0, dedup: bool = True,
+                 near_dup_method: str | None = None,
+                 near_dup_kwargs: dict | None = None,
+                 return_stats: bool = False):
+    """Quality-filter -> exact dedup -> optional near-dedup, returning
+    the surviving docs Dataset (all columns intact).
+
+    * the quality/language filter is ONE fused actor-pool map_batches
+      pass — pure streaming, nothing materializes;
+    * ``dedup=True`` removes exact text duplicates (min-id survivor;
+      only scalar (hash, id) pairs shuffle);
+    * ``near_dup_method`` in {"minhash", "simhash", "embedding"} chains
+      ``near_dedup_docs`` with ``near_dup_kwargs``;
+    * ``return_stats=True`` additionally returns {"docs_in",
+      "after_filter", "after_exact", "after_near"} — each count is a
+      streaming aggregate but forces execution of its prefix, so leave
+      it off in latency-sensitive paths.
+    """
+    stats: dict[str, int] = {}
+    if return_stats:
+        stats["docs_in"] = docs_ds.count()
+
+    filtered = docs_ds.map_batches(
+        QualityFilterStage, batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "text_col": text_col, "id_col": id_col,
+            "min_words": min_words,
+            "min_mean_word_len": min_mean_word_len,
+            "max_mean_word_len": max_mean_word_len,
+            "min_uniq_ratio": min_uniq_ratio, "langs": langs,
+            "min_lang_score": min_lang_score,
+        }, concurrency=(1, 8), num_cpus=1)
+    if return_stats:
+        filtered = filtered.materialize()
+        stats["after_filter"] = filtered.count()
+
+    out = filtered
+    if dedup:
+        from ner_ray.stages.neardup import exact_dedup_docs
+
+        out = exact_dedup_docs(out, text_col=text_col, id_col=id_col)
+        if return_stats:
+            out = out.materialize()
+            stats["after_exact"] = out.count()
+
+    if near_dup_method:
+        from ner_ray.stages.neardup import near_dedup_docs
+
+        out = near_dedup_docs(out, method=near_dup_method,
+                              text_col=text_col, id_col=id_col,
+                              **(near_dup_kwargs or {}))
+        if return_stats:
+            out = out.materialize()
+            stats["after_near"] = out.count()
+
+    return (out, stats) if return_stats else out

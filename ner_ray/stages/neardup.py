@@ -446,8 +446,32 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
                             t.column("canonical_id"))
         return t.filter(keep).select(["entity_id"])
 
-    drops = comp.map_batches(non_canonical,
-                             batch_format="pyarrow").materialize()
+    drops = comp.map_batches(non_canonical, batch_format="pyarrow")
+    return anti_filter_docs(docs_ds, drops, drop_col="entity_id",
+                            id_col=id_col,
+                            max_broadcast_drops=max_broadcast_drops,
+                            num_buckets=num_buckets)
+
+
+def anti_filter_docs(docs_ds, drops_ds, drop_col: str = "entity_id",
+                     id_col: str = "doc_id",
+                     max_broadcast_drops: int = MAX_BROADCAST_DROPS,
+                     num_buckets: int = 64):
+    """Remove the rows whose ``id_col`` appears in ``drops_ds``
+    (``drop_col``), size-dispatched:
+
+    * drop count at or below ``max_broadcast_drops``: the drop-id set
+      broadcasts once and the corpus streams through an is_in filter —
+      NO shuffle of the corpus;
+    * above: corpus and drop keys are hash-bucketed and anti-filtered
+      per bucket in map_groups — one corpus shuffle, exact, and safe
+      for list<>-typed payload columns Dataset.join's Acero backend
+      rejects (the payload rides through groupby untouched).
+
+    Drop keys may be strings even when the corpus id is integral (the
+    component step stringifies); they are cast back to the corpus key
+    type before filtering."""
+    drops = drops_ds.materialize()
     n_drops = drops.count()
     if n_drops == 0:
         return docs_ds
@@ -459,16 +483,12 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
         from ner_ray.functions.joins import semi_join
 
         ids = pa.concat_arrays(
-            [b.column("entity_id").combine_chunks()
+            [b.column(drop_col).combine_chunks()
              for b in drops.iter_batches(batch_format="pyarrow")])
-        if key_type is not None and key_type != pa.string():
+        if key_type is not None and ids.type != key_type:
             ids = ids.cast(key_type)
         return semi_join(docs_ds, ids.to_pylist(), on=id_col, anti=True)
 
-    # bucketed anti: union null-padded drop-key rows with the corpus,
-    # hash-bucket on the key, filter each bucket's doc rows against its
-    # drop ids (the bucketed_hash_join pattern — list-safe because the
-    # payload rides through groupby/map_groups untouched)
     names, types = [], []
     for b in docs_ds.limit(1).iter_batches(batch_format="pyarrow"):
         names, types = list(b.schema.names), list(b.schema.types)
@@ -481,8 +501,8 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
                                pa.array(np.zeros(len(t), np.int8)))
 
     def tag_drops(t: pa.Table) -> pa.Table:
-        key = t.column("entity_id")
-        if key_type is not None and key_type != pa.string():
+        key = t.column(drop_col)
+        if key_type is not None and key.type != key_type:
             key = key.cast(key_type)
         cols = {n: (key if n == id_col else pa.nulls(len(t), ty))
                 for n, ty in zip(names, types)}
@@ -505,6 +525,34 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
 
     return both.groupby("_bucket").map_groups(anti_bucket,
                                               batch_format="pyarrow")
+
+
+def exact_dedup_docs(docs_ds, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_broadcast_drops: int = MAX_BROADCAST_DROPS,
+                     num_buckets: int = 64):
+    """Exact-duplicate REMOVAL keeping the min-id row per distinct
+    text (the survivor-set counterpart of ``exact_dedup``, which
+    returns the keyed summary). Only (content-hash, id) scalar pairs
+    shuffle — never texts; per hash-bucket the non-min ids are found
+    with a vectorized groupby-transform, then anti-filtered out of the
+    corpus via the shared size dispatch."""
+    def pairs(t: pa.Table) -> pa.Table:
+        h = hash_column(t.column(text_col)).view(np.int64)
+        b = (h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"h": pa.array(h), id_col: t.column(id_col),
+                         "_b": pa.array(b)})
+
+    def drop_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("h")[id_col].transform("min")
+        return g.loc[g[id_col] != m, [id_col]]
+
+    drops = docs_ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("_b").map_groups(drop_bucket, batch_format="pandas")
+    return anti_filter_docs(docs_ds, drops, drop_col=id_col,
+                            id_col=id_col,
+                            max_broadcast_drops=max_broadcast_drops,
+                            num_buckets=num_buckets)
 
 
 def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
