@@ -67,7 +67,8 @@ def main() -> None:
         else:
             detector_cfg = f"t{args.threshold}"
         fp = fingerprint("near_dedup", input_fingerprint(args.docs),
-                         args.method, detector_cfg, str(args.n_buckets))
+                         args.method, detector_cfg, str(args.n_buckets),
+                         args.text_col, args.id_col)
         fs, root = resolve_fs(args.out)
         marker = f"{root.rstrip('/')}/_DEDUP_MANIFEST.json"
         prev = None
@@ -83,7 +84,11 @@ def main() -> None:
                 summary["lineage_records"] = len(rows)
             print(json.dumps(summary))
             return
-        if prev is not None:
+        # clear ANY prior content: a stale completed output (config or
+        # input changed) AND the debris of a crashed run that died
+        # before stamping its manifest — write_parquet appends
+        # uniquely-named files, so leftovers would mix into the rerun
+        if fs.get_file_info(root).type == pafs.FileType.Directory:
             fs.delete_dir_contents(root)
 
         from ner_ray.stages.neardup import near_dedup_docs

@@ -24,8 +24,9 @@ class QualityFilterStage:
     """Fused quality + language-ID row filter (actor pool: stopword
     profiles built once per actor). Computes the metrics inline on a
     (doc_id, text) view of the batch and filters the ORIGINAL batch,
-    so arbitrary payload columns pass through untouched. Null texts
-    are treated as empty (and thus dropped by any min_words >= 1)."""
+    so arbitrary payload columns pass through untouched. Null and
+    whitespace-only texts count as 0 words (split-on-space would
+    otherwise report 1), so any min_words >= 1 drops them."""
 
     def __init__(self, text_col: str, id_col: str, min_words: int,
                  min_mean_word_len: float, max_mean_word_len: float,
@@ -44,7 +45,12 @@ class QualityFilterStage:
             "text": pc.fill_null(batch.column(self.text_col), ""),
         })
         q = quality_batch(view)
-        n_words = q.column("n_words").to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(
+            pc.utf8_trim_whitespace(view.column("text")), "") \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        n_words = np.where(
+            nonempty,
+            q.column("n_words").to_numpy(zero_copy_only=False), 0)
         mwl = q.column("mean_word_len").to_numpy(zero_copy_only=False)
         uniq = q.column("uniq_ratio").to_numpy(zero_copy_only=False)
         keep = ((n_words >= self.min_words)
@@ -97,8 +103,13 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
             "min_uniq_ratio": min_uniq_ratio, "langs": langs,
             "min_lang_score": min_lang_score,
         }, concurrency=(1, 8), num_cpus=1)
-    if return_stats:
+    if dedup or near_dup_method or return_stats:
+        # the dedup stages each consume their input more than once
+        # (pair/detector pass + anti pass); pin the filtered corpus so
+        # the quality/langid actors run exactly one streaming pass
+        # instead of re-executing per consumer
         filtered = filtered.materialize()
+    if return_stats:
         stats["after_filter"] = filtered.count()
 
     out = filtered

@@ -383,7 +383,8 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
     """Corpus-level near-duplicate REMOVAL — the operator a training-
     data pipeline actually wants on top of pair listing: detect pairs,
     cluster them into connected components, keep ONE representative per
-    cluster (the lexicographic-min id — deterministic), drop the rest.
+    cluster (the min id — numeric order for integral id columns,
+    lexicographic otherwise; deterministic either way), drop the rest.
 
     * ``method``: "minhash" | "simhash" | "embedding" (dispatches to
       the corresponding pair detector with ``detector_kwargs``), or
@@ -404,16 +405,30 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
 
     Returns the surviving docs Dataset with all input columns.
     Idempotent: re-running on the output finds no pairs."""
-    import ray.data as rd
-
     from ner_ray.stages.canon import canonicalize
 
+    # the corpus is consumed by several passes (detector, key-type
+    # probe, anti filter) — pin it once rather than re-executing the
+    # upstream lineage per consumer
+    docs_ds = docs_ds.materialize()
+    key_type = None
+    for b in docs_ds.limit(1).iter_batches(batch_format="pyarrow"):
+        key_type = b.schema.field(id_col).type
+
     if pairs_ds is None:
-        if method == "minhash":
-            pairs_ds = minhash_near_dups(docs_ds, text_col=text_col,
-                                         **detector_kwargs)
-        elif method == "simhash":
-            pairs_ds = simhash_near_dups(docs_ds, **detector_kwargs)
+        if method in ("minhash", "simhash"):
+            # the text detectors read canonical (doc_id, text) columns;
+            # rename a custom layout into that view (ids in the emitted
+            # pairs are the original values either way)
+            det_in = docs_ds.select_columns([id_col, text_col])
+            if (id_col, text_col) != ("doc_id", "text"):
+                det_in = det_in.map_batches(
+                    lambda t: t.rename_columns(["doc_id", "text"]),
+                    batch_format="pyarrow")
+            if method == "minhash":
+                pairs_ds = minhash_near_dups(det_in, **detector_kwargs)
+            else:
+                pairs_ds = simhash_near_dups(det_in, **detector_kwargs)
         elif method == "embedding":
             from ner_ray.stages.similarity import cosine_dup_pairs
 
@@ -441,13 +456,37 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
         return docs_ds
     comp = canonicalize(edges)
 
-    def non_canonical(t: pa.Table) -> pa.Table:
-        keep = pc.not_equal(t.column("entity_id"),
-                            t.column("canonical_id"))
-        return t.filter(keep).select(["entity_id"])
+    if key_type is not None and pa.types.is_integer(key_type):
+        # canonicalize's internal min is lexicographic on the
+        # stringified ids ("10" < "2"); recompute the representative
+        # numerically so integral corpora keep the true min id (and
+        # agree with exact_dedup_docs' numeric min)
+        from ray.data.aggregate import Min
 
-    drops = comp.map_batches(non_canonical, batch_format="pyarrow")
-    return anti_filter_docs(docs_ds, drops, drop_col="entity_id",
+        typed = comp.map_batches(
+            lambda t: pa.table({
+                "eid": t.column("entity_id").cast(key_type),
+                "comp": t.column("canonical_id")}),
+            batch_format="pyarrow")
+        reps = typed.groupby("comp").aggregate(
+            Min("eid", alias_name="rep"))
+        joined = typed.join(reps, join_type="inner", num_partitions=8,
+                            on=("comp",))
+        drops = joined.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("eid"),
+                                            t.column("rep")))
+            .select(["eid"]),
+            batch_format="pyarrow")
+        drop_col = "eid"
+    else:
+        def non_canonical(t: pa.Table) -> pa.Table:
+            keep = pc.not_equal(t.column("entity_id"),
+                                t.column("canonical_id"))
+            return t.filter(keep).select(["entity_id"])
+
+        drops = comp.map_batches(non_canonical, batch_format="pyarrow")
+        drop_col = "entity_id"
+    return anti_filter_docs(docs_ds, drops, drop_col=drop_col,
                             id_col=id_col,
                             max_broadcast_drops=max_broadcast_drops,
                             num_buckets=num_buckets)
@@ -471,13 +510,17 @@ def anti_filter_docs(docs_ds, drops_ds, drop_col: str = "entity_id",
     Drop keys may be strings even when the corpus id is integral (the
     component step stringifies); they are cast back to the corpus key
     type before filtering."""
+    from ner_ray.util.hashing import to_bucket
+
     drops = drops_ds.materialize()
     n_drops = drops.count()
     if n_drops == 0:
         return docs_ds
-    key_type = None
+    # ONE schema probe covers both paths (key type + full layout)
+    key_type, names, types = None, [], []
     for b in docs_ds.limit(1).iter_batches(batch_format="pyarrow"):
         key_type = b.schema.field(id_col).type
+        names, types = list(b.schema.names), list(b.schema.types)
 
     if n_drops <= max_broadcast_drops:
         from ner_ray.functions.joins import semi_join
@@ -489,13 +532,8 @@ def anti_filter_docs(docs_ds, drops_ds, drop_col: str = "entity_id",
             ids = ids.cast(key_type)
         return semi_join(docs_ds, ids.to_pylist(), on=id_col, anti=True)
 
-    names, types = [], []
-    for b in docs_ds.limit(1).iter_batches(batch_format="pyarrow"):
-        names, types = list(b.schema.names), list(b.schema.types)
-
     def tag_docs(t: pa.Table) -> pa.Table:
-        b = (hash_column(t.column(id_col)) % np.uint64(num_buckets)) \
-            .astype(np.int64)
+        b = to_bucket(hash_column(t.column(id_col)), num_buckets)
         t = t.append_column("_bucket", pa.array(b))
         return t.append_column("_is_drop",
                                pa.array(np.zeros(len(t), np.int8)))
@@ -507,7 +545,7 @@ def anti_filter_docs(docs_ds, drops_ds, drop_col: str = "entity_id",
         cols = {n: (key if n == id_col else pa.nulls(len(t), ty))
                 for n, ty in zip(names, types)}
         out = pa.table(cols)
-        b = (hash_column(key) % np.uint64(num_buckets)).astype(np.int64)
+        b = to_bucket(hash_column(key), num_buckets)
         out = out.append_column("_bucket", pa.array(b))
         return out.append_column("_is_drop",
                                  pa.array(np.ones(len(t), np.int8)))
@@ -537,11 +575,15 @@ def exact_dedup_docs(docs_ds, text_col: str = "text",
     shuffle — never texts; per hash-bucket the non-min ids are found
     with a vectorized groupby-transform, then anti-filtered out of the
     corpus via the shared size dispatch."""
+    from ner_ray.util.hashing import to_bucket
+
+    docs_ds = docs_ds.materialize()  # consumed by pair + anti passes
+
     def pairs(t: pa.Table) -> pa.Table:
-        h = hash_column(t.column(text_col)).view(np.int64)
-        b = (h.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
-        return pa.table({"h": pa.array(h), id_col: t.column(id_col),
-                         "_b": pa.array(b)})
+        h = hash_column(t.column(text_col))
+        return pa.table({"h": pa.array(h.view(np.int64)),
+                         id_col: t.column(id_col),
+                         "_b": pa.array(to_bucket(h, num_buckets))})
 
     def drop_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("h")[id_col].transform("min")

@@ -63,6 +63,21 @@ def test_near_dup_chain(ray_session, corpus_ds):
     assert _ids(out) == ["good1"]
 
 
+def test_empty_and_null_texts_drop_at_min_words_1(ray_session):
+    import ray.data as rd
+
+    from ner_ray.pipelines.clean import clean_corpus
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": ["empty", "null", "spaces", "ok"],
+        "text": ["", None, "   ", "one real word here"],
+    }))
+    out = clean_corpus(ds, min_words=1, min_mean_word_len=0.0,
+                       max_mean_word_len=100.0, min_uniq_ratio=0.0,
+                       langs=None, dedup=False)
+    assert _ids(out) == ["ok"]
+
+
 def test_exact_dedup_docs_matches_summary(ray_session):
     import ray.data as rd
 

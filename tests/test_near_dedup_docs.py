@@ -80,19 +80,21 @@ def test_embedding_method_int_ids(ray_session):
     rng = np.random.default_rng(7)
     base = rng.standard_normal(8)
     rows = []
-    for i in range(6):
-        if i < 3:           # cluster: tiny perturbations of one vector
-            v = base + 1e-3 * rng.standard_normal(8)
-        else:               # independent random directions: expected
-            # |cosine| ~ 1/sqrt(8), far below the 0.99 threshold
-            v = rng.standard_normal(8)
+    # cluster ids {2, 10, 11}: lexicographic min of the stringified
+    # ids would keep 10 ("10" < "2") — the NUMERIC min 2 must survive
+    for i in (2, 10, 11):
+        v = base + 1e-3 * rng.standard_normal(8)
         rows.append({"vec_id": i, "embedding": v.tolist()})
+    for i in (3, 4, 5):     # independent random directions: expected
+        # |cosine| ~ 1/sqrt(8), far below the 0.99 threshold
+        rows.append({"vec_id": i,
+                     "embedding": rng.standard_normal(8).tolist()})
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
     out = near_dedup_docs(ds, method="embedding", id_col="vec_id",
                           threshold=0.99)
     ids = sorted(b for batch in out.iter_batches(batch_format="pyarrow")
                  for b in batch.column("vec_id").to_pylist())
-    assert ids == [0, 3, 4, 5]
+    assert ids == [2, 3, 4, 5]
     # id column keeps its integer type through the string-keyed
     # component step
     t = next(iter(out.iter_batches(batch_format="pyarrow")))
@@ -139,6 +141,35 @@ def test_near_dedup_job_skip_on_rerun(tmp_path):
     lineage = [json.loads(ln) for ln in
                open(f"{tmp}/ckpt/lineage.jsonl", encoding="utf-8")]
     assert any(row["status"] == "skipped" for row in lineage)
+
+
+def test_custom_column_names(ray_session):
+    """text_col/id_col forwarding: detectors see a renamed canonical
+    view even when the table carries a DIFFERENT column literally
+    named 'text' (which must be ignored)."""
+    import ray.data as rd
+
+    from ner_ray.stages.neardup import near_dedup_docs
+
+    corpus = _dup_corpus()
+    # simhash needs tight Hamming distance: make the a-cluster bodies
+    # IDENTICAL (distance 0) while every decoy 'text' value is distinct
+    # — dups are found only if the detector reads 'body'
+    for r in corpus:
+        if r["doc_id"].startswith("a"):
+            r["text"] = corpus[0]["text"]
+    rows = [{"uid": r["doc_id"], "body": r["text"],
+             "text": f"decoy {i}"}      # decoy column named 'text'
+            for i, r in enumerate(corpus)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    for method in ("minhash", "simhash"):
+        kw = {"threshold": 0.5} if method == "minhash" else {}
+        out = near_dedup_docs(ds, method=method, text_col="body",
+                              id_col="uid", **kw)
+        ids = sorted(b for batch in out.iter_batches(batch_format="pyarrow")
+                     for b in batch.column("uid").to_pylist())
+        assert ids[0] == "a0" and "a1" not in ids and "a2" not in ids, \
+            (method, ids)
 
 
 def test_precomputed_pairs_chain_transitive(ray_session):
