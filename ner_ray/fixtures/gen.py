@@ -326,13 +326,59 @@ def wav_bytes_for(media_ref: str) -> bytes:
     return buf.getvalue()
 
 
+def image_params_for(media_ref: str) -> dict:
+    """Deterministic image parameters for an image media_ref (stable
+    hash, same scheme as wav_params_for). Tests assert the real image
+    parsers recover exactly these from the encoded bytes."""
+    from ner_ray.util.hashing import hash_str
+
+    h = hash_str(media_ref)
+    fmt = ["png", "bmp", "pnm"][h % 3]
+    if fmt == "png":
+        channels = [1, 3, 4][(h >> 12) % 3]
+    elif fmt == "bmp":
+        channels = 3
+    else:
+        channels = [1, 3][(h >> 12) % 2]
+    return {
+        "format": fmt,
+        "width": 4 + ((h >> 4) % 13),
+        "height": 4 + ((h >> 8) % 13),
+        "channels": channels,
+    }
+
+
+def image_pixels_for(media_ref: str) -> np.ndarray:
+    """Deterministic pixel array for an image ref (hash-seeded noise)."""
+    from ner_ray.util.hashing import hash_str
+
+    p = image_params_for(media_ref)
+    rng = np.random.default_rng(hash_str(media_ref) & 0xFFFFFFFF)
+    shape = ((p["height"], p["width"]) if p["channels"] == 1
+             else (p["height"], p["width"], p["channels"]))
+    return rng.integers(0, 256, size=shape).astype(np.uint8)
+
+
+def image_bytes_for(media_ref: str) -> bytes:
+    """Render the deterministic REAL image payload for an image ref —
+    PNG (filter_mode="cycle" so fixtures exercise all five PNG filters),
+    24-bit BMP, or binary netpbm, per image_params_for."""
+    from ner_ray.stages.imaging import encode_bmp, encode_png, encode_ppm
+
+    p = image_params_for(media_ref)
+    img = image_pixels_for(media_ref)
+    if p["format"] == "png":
+        return encode_png(img, filter_mode="cycle")
+    if p["format"] == "bmp":
+        return encode_bmp(img)
+    return encode_ppm(img)
+
+
 def gen_media_blobs(docs: pa.Table) -> pa.Table:
     """Media blob sidecar table: one row per non-text span. Audio refs
     carry REAL WAV bytes (decodable with stdlib wave); image refs carry
-    an opaque hash-seeded payload (no image codec exists here — the
-    real decoder must refuse them, which tests assert)."""
-    from ner_ray.util.hashing import hash_str
-
+    REAL encoded PNG/BMP/netpbm bytes (decodable with the pure
+    stdlib+numpy parsers in ner_ray.stages.imaging)."""
     refs: list[str] = []
     kinds: list[str] = []
     blobs: list[bytes] = []
@@ -344,9 +390,7 @@ def gen_media_blobs(docs: pa.Table) -> pa.Table:
             if sp["kind"] == "audio":
                 blob = wav_bytes_for(ref)
             else:
-                h = hash_str(ref)
-                n = 64 + (h % 192)
-                blob = np.random.default_rng(h & 0xFFFFFFFF).bytes(n)
+                blob = image_bytes_for(ref)
             refs.append(ref)
             kinds.append(sp["kind"])
             blobs.append(blob)

@@ -547,19 +547,22 @@ def q_sample(sf_dir: str):
 @q("q_media")
 def q_media(_sf_dir: str):
     """Fused multimodal entry: media metadata extraction + frame
-    sampling over interleaved docs, hash-joined with the REAL audio
-    decode of the media-blob sidecar (stdlib wave parses actual WAV
-    bytes; image rows carry typed nulls — no image codec exists here).
-    One row per media span with fake-plumbing stats columns, sampled
-    frame refs, and real audio columns (sample_rate/channels/n_frames/
-    duration_s/peak); rows-only; merged for the driver's 50-row
+    sampling over interleaved docs, hash-joined with the REAL decode
+    of the media-blob sidecar — stdlib wave parses actual WAV bytes
+    for audio spans AND the pure stdlib+numpy image parsers
+    (ner_ray.stages.imaging) decode actual PNG/BMP/netpbm bytes for
+    image spans; each kind carries typed nulls in the other kind's
+    columns. One row per media span with stats columns, sampled frame
+    refs, real audio columns (sample_rate/channels/n_frames/duration_s/
+    peak) and real image columns (img_format/img_width/img_height/
+    img_channels/mean_luma); rows-only; merged for the driver's 50-row
     correctness budget."""
     import ray.data as rd
 
     from ner_ray.sources.io import read_docs
     from ner_ray.stages.multimodal import (
         _flat_media,
-        audio_stats,
+        blob_stats,
         media_pipeline,
     )
 
@@ -575,7 +578,7 @@ def q_media(_sf_dir: str):
         lambda t: _flat_media(t).select(
             ["doc_id", "span_idx", "media_ref", "kind"]),
         batch_format="pyarrow")
-    ast = audio_stats(
+    ast = blob_stats(
         rd.read_parquet(f"{fx}/media_blobs.parquet")).materialize()
     joined = flat.join(ast, join_type="left_outer", num_partitions=4,
                        on=("media_ref",))

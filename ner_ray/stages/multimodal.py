@@ -4,11 +4,13 @@ metadata).
 The Ray-side plumbing — schema, actor signature, batch sizing, output
 layout — is real and tested. Codec boundary: AUDIO decode is REAL
 (stdlib ``wave`` parses WAV payloads in ``RealMediaDecoder`` /
-``AudioStatsStage``); image and video decode remain stubbed behind
-``decode_media`` because no image/video codec library exists in this
-container (PIL/cv2/imageio/av all absent). ``FakeMediaDecoder``
-produces deterministic pseudo-metadata from the media_ref hash so
-pipelines and tests have stable, non-trivial values for every kind.
+``AudioStatsStage``) and IMAGE decode is REAL for PNG/BMP/netpbm
+(pure stdlib zlib + numpy parsers in ``ner_ray.stages.imaging``).
+Only VIDEO decode remains stubbed: no demuxer/inter-frame codec can
+be reimplemented from stdlib (PIL/cv2/imageio/av all absent).
+``FakeMediaDecoder`` produces deterministic pseudo-metadata from the
+media_ref hash so pipelines and tests have stable, non-trivial values
+for every kind.
 
 Large binary payloads => keep ``batch_size`` small for these stages
 (documented: a decoded image batch of B rows × H×W×3 bytes must fit the
@@ -157,14 +159,27 @@ def frame_samples(docs_ds, stride: int = 10, max_frames: int = 8,
 
 
 class RealMediaDecoder(FakeMediaDecoder):
-    """The production decode signature. AUDIO is decoded for real:
-    stdlib ``wave`` parses WAV containers (the one codec available in
-    this environment), yielding sample rate / channels / frame count /
-    duration / int16 peak. Image and video decode remain stubbed —
-    no codec library (PIL/cv2/imageio/av/soundfile) exists in this
-    container, so those kinds raise NotImplementedError."""
+    """The production decode signature. AUDIO is decoded for real
+    (stdlib ``wave``: sample rate / channels / frame count / duration /
+    int16 peak) and IMAGE is decoded for real (PNG/BMP/netpbm via the
+    pure stdlib+numpy parsers in ner_ray.stages.imaging: format /
+    width / height / channels / mean luma). Only VIDEO remains
+    stubbed — no demuxer or inter-frame codec exists in this container
+    (PIL/cv2/imageio/av/soundfile all absent), so that kind raises
+    NotImplementedError."""
 
     def decode_media(self, media_bytes: bytes, kind: str) -> dict:
+        if kind == "image":
+            from ner_ray.stages.imaging import decode_image, luma
+
+            img, fmt = decode_image(media_bytes)
+            return {
+                "format": fmt,
+                "width": int(img.shape[1]),
+                "height": int(img.shape[0]),
+                "channels": 1 if img.ndim == 2 else int(img.shape[2]),
+                "mean_luma": float(luma(img).mean()),
+            }
         if kind == "audio":
             import io
             import wave
@@ -183,10 +198,11 @@ class RealMediaDecoder(FakeMediaDecoder):
                     "duration_s": nf / rate if rate else 0.0, "peak": peak}
         raise NotImplementedError(
             f"{kind} decode requires codecs not present in this "
-            "environment (only stdlib wave exists — audio/WAV is the "
-            "one real decode path); see FakeMediaDecoder for the "
-            "tested plumbing and the module docstring for batch-sizing "
-            "guidance"
+            "environment (audio/WAV via stdlib wave and image "
+            "PNG/BMP/netpbm via ner_ray.stages.imaging are the real "
+            "decode paths; video demux is not reimplementable from "
+            "stdlib); see FakeMediaDecoder for the tested plumbing and "
+            "the module docstring for batch-sizing guidance"
         )
 
 
@@ -245,6 +261,42 @@ def audio_stats(blobs_ds, concurrency=(1, 4), batch_size: int = 64):
     row carries a binary payload)."""
     return blobs_ds.map_batches(
         AudioStatsStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+class BlobStatsStage:
+    """Fused REAL decode over a MEDIA_BLOBS table: one actor-pool pass
+    emits audio columns (stdlib wave) AND image columns (pure
+    stdlib+numpy PNG/BMP/netpbm parsers) side by side — audio rows
+    carry nulls in the image columns and vice versa. Image columns are
+    prefixed img_ so they can sit beside the media pipeline's own
+    width/height, and the list-typed image feature is omitted here
+    because this output feeds Ray's hash join (Arrow acero rejects
+    list<> non-key columns); use imaging.image_stats for features."""
+
+    _IMG_RENAME = {"format": "img_format", "width": "img_width",
+                   "height": "img_height", "channels": "img_channels",
+                   "mean_luma": "mean_luma"}
+
+    def __init__(self):
+        from ner_ray.stages.imaging import ImageStatsStage
+
+        self.audio = AudioStatsStage()
+        self.image = ImageStatsStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.audio(batch)
+        img = self.image(batch)
+        for src, dst in self._IMG_RENAME.items():
+            out = out.append_column(dst, img.column(src))
+        return out
+
+
+def blob_stats(blobs_ds, concurrency=(1, 4), batch_size: int = 64):
+    """Fused real audio+image decode (one pass over the binary
+    payloads; small batches)."""
+    return blobs_ds.map_batches(
+        BlobStatsStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
 
 

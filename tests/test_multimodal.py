@@ -35,10 +35,13 @@ def test_wav_roundtrip_bit_level():
 
 def test_real_decoder_refuses_undecodable_kinds():
     dec = RealMediaDecoder()
-    with pytest.raises(NotImplementedError):
-        dec.decode_media(b"\x89PNG\r\n", "image")
+    # video is the one remaining stub (no demuxer from stdlib)
     with pytest.raises(NotImplementedError):
         dec.decode_media(b"\x00\x00\x00 ftypmp42", "video")
+    # image decode is REAL now — a corrupt payload is refused by the
+    # parser (ValueError), not faked
+    with pytest.raises(ValueError):
+        dec.decode_media(b"\x89PNG\r\n", "image")
 
 
 def test_fixture_blobs_are_real_wavs(ray_session):
@@ -89,8 +92,10 @@ def test_audio_stats_stage(ray_session):
 
 def test_media_pipeline_with_audio_join(ray_session):
     """q_media's shape: fused media pipeline joined with the real
-    audio decode — every audio span row carries real stats, every
-    image span row carries nulls."""
+    blob decode — every audio span row carries real audio stats (and
+    null image stats), every image span row carries real image stats
+    (and null audio stats)."""
+    from ner_ray.fixtures.gen import image_params_for
     from ner_ray.pipelines.queries import registry
 
     res = registry()["q_media"]("unused").to_pandas()
@@ -100,9 +105,16 @@ def test_media_pipeline_with_audio_join(ray_session):
     assert len(audio) and len(image)
     assert audio["sample_rate"].notna().all()
     assert image["sample_rate"].isna().all()
+    assert image["img_format"].notna().all()
+    assert audio["img_format"].isna().all()
     for _, r in audio.head(25).iterrows():
         assert int(r["sample_rate"]) == \
             wav_params_for(r["media_ref"])["sample_rate"]
+    for _, r in image.head(25).iterrows():
+        p = image_params_for(r["media_ref"])
+        assert r["img_format"] == p["format"]
+        assert int(r["img_width"]) == p["width"]
+        assert int(r["img_height"]) == p["height"]
 
 
 def test_blob_generation_deterministic():
