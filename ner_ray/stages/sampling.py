@@ -1,0 +1,120 @@
+"""Deterministic sampling and domain mixing for training-data pipelines.
+
+Ray's ``random_sample`` draws per task, so the surviving row set
+depends on block layout and scheduling. At 100 TB a sample must be
+reproducible and resumable, so these operators decide per ROW: keep a
+row iff ``stable_hash(id, seed) / 2^64 < fraction``. The decision is a
+pure function of (row id, seed) — identical on any cluster size, any
+block layout, any retry — and map-only (no shuffle, no driver loop).
+
+Domain mixing (the "data mixture" step before training): given target
+proportions per domain (e.g. ``{"web": 0.6, "books": 0.4}``), compute
+per-domain keep fractions that hit the targets exactly while keeping as
+many rows as possible (the scarcest domain becomes the binding
+constraint and is kept at fraction 1.0), then apply one stratified
+hash-filter pass. The counting pass pre-aggregates per batch, so only
+(domain, count) partials — bounded by #domains x #blocks — reach the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ner_ray.util.hashing import combine_hashes, hash_column, hash_str
+
+_TWO64 = float(2 ** 64)
+
+
+def _uniform01(ids, seed: int) -> np.ndarray:
+    """Seed-stable U[0,1) per id (vectorized)."""
+    h = hash_column(ids)
+    sconst = np.full(len(h), np.uint64(hash_str(f"sample-seed:{seed}")),
+                     dtype=np.uint64)
+    return combine_hashes(h, sconst).astype(np.float64) / _TWO64
+
+
+def hash_sample(ds, fraction: float, id_col: str = "doc_id",
+                seed: int = 42):
+    """Deterministic Bernoulli(fraction) sample keyed on id hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+
+    def keep(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        u = _uniform01(t.column(id_col), seed)
+        return t.filter(pa.array(u < fraction))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, fractions: dict, key_col: str = "source",
+                      id_col: str = "doc_id", seed: int = 42,
+                      default_fraction: float = 0.0):
+    """Per-domain deterministic sample: row kept iff its id-hash
+    uniform is below ``fractions[row[key_col]]`` (domains absent from
+    the dict use default_fraction). The fractions dict is a broadcast
+    small side (closure-captured once, read per batch)."""
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
+    if bad or not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"fractions must be in [0,1]: {bad or default_fraction}")
+
+    def keep(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        u = _uniform01(t.column(id_col), seed)
+        keys = t.column(key_col).to_pandas()
+        # few uniques: factorize-first rule — map uniques, gather
+        codes, uniq = pd.factorize(keys)
+        per_uniq = np.array([fractions.get(k, default_fraction)
+                             for k in uniq], dtype=np.float64)
+        frac = per_uniq[codes] if len(uniq) else np.zeros(len(t))
+        return t.filter(pa.array(u < frac))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def domain_counts(ds, key_col: str = "source") -> dict:
+    """Row count per domain via per-batch pre-aggregation; only tiny
+    (domain, n) partials reach the driver."""
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select([key_col]).group_by(key_col).aggregate(
+            [([], "count_all")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return {}
+    agg = parts.groupby(key_col)["count_all"].sum()
+    return {k: int(v) for k, v in agg.items()}
+
+
+def mix_fractions(counts: dict, targets: dict) -> dict:
+    """Per-domain keep fractions that realize the target proportions
+    exactly (in expectation) while maximizing retained rows: the
+    domain with the least headroom (count/target) binds at fraction
+    1.0 and every other domain downsamples to match. Domains not in
+    ``targets`` get fraction 0.0."""
+    tot = sum(targets.values())
+    if tot <= 0:
+        raise ValueError("targets must have positive total weight")
+    targets = {k: v / tot for k, v in targets.items() if v > 0}
+    missing = [k for k in targets if counts.get(k, 0) == 0]
+    if missing:
+        raise ValueError(f"target domains absent from corpus: {missing}")
+    scale = min(counts[k] / w for k, w in targets.items())
+    # the binding domain computes to exactly 1.0 in real arithmetic but
+    # can land at 1.0 + eps in floats — clamp
+    return {k: min(1.0, (scale * w) / counts[k]) for k, w in targets.items()}
+
+
+def downsample_to_mix(ds, targets: dict, key_col: str = "source",
+                      id_col: str = "doc_id", seed: int = 42):
+    """Two streaming passes: count domains, then stratified hash-filter
+    to the computed mix fractions. Returns (sampled_ds, fractions)."""
+    counts = domain_counts(ds, key_col)
+    fracs = mix_fractions(counts, targets)
+    return stratified_sample(ds, fracs, key_col=key_col, id_col=id_col,
+                             seed=seed), fracs
