@@ -29,7 +29,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "q_grouped_agg", "q_partial_final", "q_hash_join", "q_windows",
     "q_dedup_exact", "q_ann_topk", "q_text_stats",
-    "q_minhash_pairs", "q_embed_dup_pairs", "q_doc_signals",
+    "q_neardup_pairs", "q_embed_dup_pairs", "q_doc_signals",
+    "q_clean_corpus", "q_near_dedup_docs",
 ]
 
 

@@ -569,20 +569,8 @@ def q_json_extract(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-@q("q_hash_stability")
-def q_hash_stability(sf_dir: str):
-    """Seed-stable content hashes (no SQL: DuckDB's hash() is a
-    different function; cross-process self-consistency is asserted in
-    tests)."""
-    from ner_ray.util.hashing import hash_columns
-
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-
-    def fn(t: pa.Table) -> pa.Table:
-        h = hash_columns(t.column("doc_id"), t.column("text"))
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "h": pa.array([f"{x:016x}" for x in h], pa.string()),
-        })
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+# (the seed-stable multi-column row hash that used to be the standalone
+# q_hash_stability entry is graded inside q_doc_signals — merged to free
+# a slot in the driver's 50-row correctness budget for the round-3
+# corpus-curation operators; cross-process self-consistency stays
+# asserted in tests/test_hashing.py)

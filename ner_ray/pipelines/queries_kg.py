@@ -351,13 +351,25 @@ def q_text_stats(sf_dir: str):
 
 @q("q_doc_signals")
 def q_doc_signals(sf_dir: str):
-    """Fused language-ID + document fingerprint (rows-only: the
-    stopword-profile heuristic and our 64-bit hash are engine-specific;
-    merged for the driver's 50-row correctness budget)."""
+    """Fused language-ID + document fingerprint + seed-stable
+    multi-column row hash (rows-only: the stopword-profile heuristic
+    and our 64-bit hashes are engine-specific — DuckDB's hash() is a
+    different function; cross-process self-consistency is asserted in
+    tests/test_hashing.py; merged for the driver's 50-row correctness
+    budget — the row-hash column absorbs the old q_hash_stability
+    entry)."""
     from ner_ray.stages.textstats import DocSignalsStage
+    from ner_ray.util.hashing import hash_columns
+
+    class SignalsWithRowHash(DocSignalsStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            h = hash_columns(batch.column("doc_id"), batch.column("text"))
+            return out.append_column(
+                "row_hash", pa.array([f"{x:016x}" for x in h], pa.string()))
 
     return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        DocSignalsStage, batch_format="pyarrow", concurrency=(1, 4),
+        SignalsWithRowHash, batch_format="pyarrow", concurrency=(1, 4),
         num_cpus=1)
 
 
@@ -374,23 +386,35 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
-@q("q_minhash_pairs")
-def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup candidates + exact-Jaccard verify (no SQL:
-    signature banding is engine-specific; verified in tests against
-    planted duplicates)."""
-    from ner_ray.stages.neardup import minhash_near_dups
+@q("q_neardup_pairs")
+def q_neardup_pairs(sf_dir: str):
+    """MinHash-LSH (banded candidates + exact-Jaccard verify) AND
+    SimHash (4x16-bit band buckets + Hamming verify) near-dup pair
+    listings in one graded entry, marked by the method column (merged
+    for the driver's 50-row correctness budget — no SQL: signature
+    banding is engine-specific; both detectors are verified in tests
+    against planted duplicates). score = jaccard for minhash rows,
+    hamming distance for simhash rows."""
+    from ner_ray.stages.neardup import minhash_near_dups, simhash_near_dups
 
-    return minhash_near_dups(_rp(sf_dir, "documents", ["doc_id", "text"]),
-                             threshold=0.7)
+    def mark(method, score_col):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "method": pa.array([method] * len(t), pa.string()),
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "score": pc.cast(t.column(score_col), pa.float64()),
+            })
 
+        return fn
 
-@q("q_simhash_pairs")
-def q_simhash_pairs(sf_dir: str):
-    from ner_ray.stages.neardup import simhash_near_dups
-
-    return simhash_near_dups(_rp(sf_dir, "documents", ["doc_id", "text"]),
-                             max_hamming=3)
+    mh = minhash_near_dups(_rp(sf_dir, "documents", ["doc_id", "text"]),
+                           threshold=0.7) \
+        .map_batches(mark("minhash", "jaccard"), batch_format="pyarrow")
+    sh = simhash_near_dups(_rp(sf_dir, "documents", ["doc_id", "text"]),
+                           max_hamming=3) \
+        .map_batches(mark("simhash", "hamming"), batch_format="pyarrow")
+    return mh.union(sh)
 
 
 @q("q_ngram_jaccard", sql="""
@@ -444,6 +468,74 @@ def q_ngram_jaccard(sf_dir: str):
                              "jaccard": jac})
 
     return j.map_batches(jaccard, batch_format="pandas")
+
+
+_JACCARD_EXPR = """len(list_intersect(list_distinct(str_split(a.text, ' ')),
+                          list_distinct(str_split(b.text, ' ')))) * 1.0
+           / greatest(len(list_distinct(list_concat(
+                 str_split(a.text, ' '), str_split(b.text, ' ')))), 1)"""
+
+
+@q("q_near_dedup_docs", sql=f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id NOT IN (
+  SELECT b.doc_id
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE {_JACCARD_EXPR} >= 0.85)
+""")
+def q_near_dedup_docs(sf_dir: str):
+    """Corpus-level near-duplicate REMOVAL, value-matched end to end:
+    the duplicate relation is the deterministic consecutive-pair
+    word-set Jaccard (same kernel + SQL expression as q_ngram_jaccard,
+    so both engines see the identical edge set), then the full removal
+    machinery runs distributed — connected components (canon size
+    dispatch), min-id survivor per component, anti-filter of the
+    corpus. Consecutive edges chain into runs, so DuckDB's oracle needs
+    no recursion: a doc is dropped iff its predecessor edge exists
+    (the run head is the min-id survivor). The probabilistic detector
+    fronts (minhash/simhash/embedding) of the same operator are graded
+    by q_neardup_pairs and pytest."""
+    from ner_ray.stages.neardup import near_dedup_docs
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    edges = q_ngram_jaccard(sf_dir).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), 0.85))
+                   .select(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+    kept = near_dedup_docs(docs, pairs_ds=edges)
+    return kept.select_columns(["doc_id", "source", "n_chars"])
+
+
+@q("q_clean_corpus", sql="""
+WITH m AS (
+  SELECT doc_id, source, n_chars, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(str_split(text, ' ')) END AS nw,
+         length(replace(text, ' ', '')) * 1.0
+             / greatest(len(str_split(text, ' ')), 1) AS mwl,
+         len(list_distinct(str_split(text, ' '))) * 1.0
+             / greatest(len(str_split(text, ' ')), 1) AS uq
+  FROM documents),
+f AS (SELECT * FROM m
+      WHERE nw >= 25 AND mwl >= 4.0 AND mwl <= 5.1 AND uq >= 0.35)
+SELECT doc_id, source, n_chars FROM f
+WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY text)
+""")
+def q_clean_corpus(sf_dir: str):
+    """C4-style corpus cleaning, value-matched: fused quality filter
+    (word count / mean word length / distinct-word ratio — the same
+    kernels q_text_stats value-matches column by column) then exact
+    dedup with min-id survivors; thresholds sit inside the synthetic
+    corpus's metric spread so the filter genuinely drops rows (~35% at
+    sf0.01). The language-ID leg of the filter is engine-specific and
+    is exercised by q_doc_signals and tests/test_clean_corpus.py."""
+    from ner_ray.pipelines.clean import clean_corpus
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    out = clean_corpus(docs, min_words=25, min_mean_word_len=4.0,
+                       max_mean_word_len=5.1, min_uniq_ratio=0.35,
+                       langs=None, dedup=True)
+    return out.select_columns(["doc_id", "source", "n_chars"])
 
 
 # --------------------------------------------------- similarity search
@@ -536,9 +628,21 @@ def q_hll_distinct(sf_dir: str):
 
 @q("q_sample")
 def q_sample(sf_dir: str):
-    """Seeded sample (rows-only: sampling order differs per engine)."""
-    return _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
-        .random_sample(0.1, seed=42)
+    """O4 sampling, now through the deterministic curation operators
+    (stages/sampling.py): domain counting (per-batch partials) ->
+    mix_fractions (scarcest domain binds at 1.0) -> stratified
+    hash-threshold sample. The keep decision is a pure function of
+    (doc_id, seed) — identical on any block layout, cluster size or
+    retry, unlike Ray's random_sample. Rows-only: DuckDB cannot
+    replicate the 64-bit seed-stable hash; layout independence,
+    nested-fraction subset semantics and the mixture math are
+    pytest-asserted (tests/test_sampling.py)."""
+    from ner_ray.stages.sampling import downsample_to_mix
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source"])
+    sampled, _fracs = downsample_to_mix(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return sampled
 
 
 # ------------------------------------------------------- multimodal

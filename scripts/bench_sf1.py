@@ -29,7 +29,7 @@ REPLICAS = int(os.environ.get("NER_RAY_SF1_REPLICAS", "10"))
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 SUITE = [
-    "q_dedup_exact", "q_minhash_pairs", "q_simhash_pairs",
+    "q_dedup_exact", "q_neardup_pairs",
     "q_text_stats", "q_doc_signals", "q_ngram_jaccard",
     "q_ann_topk", "q_embed_dup_pairs",
 ]
