@@ -30,7 +30,9 @@ class QualityFilterStage:
 
     def __init__(self, text_col: str, id_col: str, min_words: int,
                  min_mean_word_len: float, max_mean_word_len: float,
-                 min_uniq_ratio: float, langs, min_lang_score: float):
+                 min_uniq_ratio: float, langs, min_lang_score: float,
+                 max_top2gram_frac: float | None = None,
+                 max_dup5gram_frac: float | None = None):
         self.text_col, self.id_col = text_col, id_col
         self.min_words = min_words
         self.min_mwl, self.max_mwl = min_mean_word_len, max_mean_word_len
@@ -38,6 +40,10 @@ class QualityFilterStage:
         self.langs = frozenset(langs) if langs else None
         self.min_lang_score = min_lang_score
         self.langid = LangIdStage() if self.langs else None
+        # Gopher-shaped repetition caps — None disables the (more
+        # expensive) n-gram pass entirely
+        self.max_top2 = max_top2gram_frac
+        self.max_dup5 = max_dup5gram_frac
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         view = pa.table({
@@ -64,6 +70,16 @@ class QualityFilterStage:
             score = lid.column("lang_score") \
                 .to_numpy(zero_copy_only=False)
             keep &= lang_ok & (score >= self.min_lang_score)
+        if self.max_top2 is not None or self.max_dup5 is not None:
+            from ner_ray.stages.textstats import repetition_batch
+
+            rep = repetition_batch(view)
+            if self.max_top2 is not None:
+                keep &= rep.column("top2gram_frac") \
+                    .to_numpy(zero_copy_only=False) <= self.max_top2
+            if self.max_dup5 is not None:
+                keep &= rep.column("dup5gram_frac") \
+                    .to_numpy(zero_copy_only=False) <= self.max_dup5
         return batch.filter(pa.array(keep))
 
 
@@ -71,7 +87,10 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                  min_words: int = 5, min_mean_word_len: float = 2.0,
                  max_mean_word_len: float = 15.0,
                  min_uniq_ratio: float = 0.1, langs=("en",),
-                 min_lang_score: float = 0.0, dedup: bool = True,
+                 min_lang_score: float = 0.0,
+                 max_top2gram_frac: float | None = None,
+                 max_dup5gram_frac: float | None = None,
+                 dedup: bool = True,
                  near_dup_method: str | None = None,
                  near_dup_kwargs: dict | None = None,
                  return_stats: bool = False):
@@ -102,6 +121,8 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
             "max_mean_word_len": max_mean_word_len,
             "min_uniq_ratio": min_uniq_ratio, "langs": langs,
             "min_lang_score": min_lang_score,
+            "max_top2gram_frac": max_top2gram_frac,
+            "max_dup5gram_frac": max_dup5gram_frac,
         }, concurrency=(1, 8), num_cpus=1)
     if dedup or near_dup_method or return_stats:
         # the dedup stages each consume their input more than once

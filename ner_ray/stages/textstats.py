@@ -191,12 +191,108 @@ def winnow_dup_candidates(docs_ds, k: int = 3, w: int = 4,
     return counted.filter(expr=f"n_shared >= {int(min_shared)}")
 
 
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-shaped repetition signals (Rae et al. 2021, arXiv:
+    2112.11446 §A1.1 — the rule SHAPE; token-count fractions are this
+    repo's own definition so the DuckDB oracle can pin them exactly):
+
+    * ``top2gram_frac``  — occurrences of the single most frequent word
+      2-gram / total 2-gram positions (``n_words - 1``); a high value
+      means one phrase dominates (boilerplate, keyword stuffing).
+    * ``dup5gram_frac`` — (total − distinct) word 5-gram positions /
+      total 5-gram positions; a high value means long stretches repeat.
+
+    Both are ratios of small integer counts → raw IEEE division is
+    engine-identical. Vectorized across the batch: one explode of the
+    word stream, n-gram strings built by elementwise concat, one pandas
+    groupby per n."""
+    text = batch.column(text_col)
+    words = pc.split_pattern(text, " ")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    flat = (words.combine_chunks() if isinstance(words, pa.ChunkedArray)
+            else words).flatten().to_pandas().to_numpy(dtype=object)
+    row = np.repeat(np.arange(len(batch)), counts)
+
+    def gram_rows(n: int):
+        """(row_idx, gram_string) for every n-gram start position that
+        stays inside one doc."""
+        if len(flat) < n:
+            return (np.array([], dtype=np.int64),
+                    np.array([], dtype=object))
+        m = len(flat) - n + 1
+        ok = row[:m] == row[n - 1:]
+        g = flat[:m].copy()
+        for off in range(1, n):
+            g = g + " "
+            g = g + flat[off:off + m]
+        return row[:m][ok], g[ok]
+
+    def per_doc(n: int):
+        r, g = gram_rows(n)
+        tot = np.maximum(counts - (n - 1), 0).astype(np.float64)
+        top = np.zeros(len(batch), dtype=np.float64)
+        dst = np.zeros(len(batch), dtype=np.float64)
+        if len(r):
+            sizes = pd.DataFrame({"i": r, "g": g}) \
+                .groupby(["i", "g"], sort=False).size()
+            per_i = sizes.groupby(level=0)
+            mx = per_i.max()
+            nu = per_i.size()
+            top[mx.index.to_numpy()] = mx.to_numpy()
+            dst[nu.index.to_numpy()] = nu.to_numpy()
+        denom = np.maximum(tot, 1.0)
+        return top / denom, (tot - dst) / denom
+
+    top2, _ = per_doc(2)
+    _, dup5 = per_doc(5)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "top2gram_frac": pa.array(top2, pa.float64()),
+        "dup5gram_frac": pa.array(dup5, pa.float64()),
+    })
+
+
+# PII patterns (RE2 syntax — shared by pyarrow and DuckDB): email,
+# international-ish phone numbers, dotted-quad IPv4. Public-knowledge
+# regex shapes; conservative on purpose (curation flags, not a legal
+# scrubber).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc PII hit counts (email / phone / IPv4), one Arrow RE2
+    kernel per pattern — no Python row loop."""
+    text = batch.column(text_col)
+    cols = {"doc_id": batch.column("doc_id")}
+    for name, pat in PII_PATTERNS.items():
+        cols[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(text, pat), pa.int64())
+    return pa.table(cols)
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace PII matches with typed placeholders (``[EMAIL]`` etc.),
+    preserving every other column. Email runs first so its local part
+    can't be half-eaten by the phone pattern."""
+    text = batch.column(text_col)
+    for name in ("email", "phone", "ipv4"):
+        text = pc.replace_substring_regex(
+            text, PII_PATTERNS[name], f"[{name.upper()}]")
+    return batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, text)
+
+
 class TextStatsStage:
     """Fused per-doc text statistics — whitespace token count, BPE-ish
-    token count, digit-normalized text, and quality metrics in ONE pass
-    over the batch (regex compiled once per actor). Each component is
-    also available standalone above; fusing them means the documents
-    table is read and decoded once instead of four times."""
+    token count, digit-normalized text, quality metrics and repetition
+    signals in ONE pass over the batch (regex compiled once per actor).
+    Each component is also available standalone above; fusing them
+    means the documents table is read and decoded once instead of six
+    times."""
 
     def __init__(self):
         import re
@@ -205,6 +301,7 @@ class TextStatsStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         q = quality_batch(batch)
+        rep = repetition_batch(batch)
         n_bpeish = batch.column("text").to_pandas().str.count(self.pat)
         norm = pc.replace_substring_regex(
             pc.utf8_lower(batch.column("text")), r"[0-9]", "0")
@@ -217,6 +314,8 @@ class TextStatsStage:
             "n_chars_computed": q.column("n_chars_computed"),
             "mean_word_len": q.column("mean_word_len"),
             "uniq_ratio": q.column("uniq_ratio"),
+            "top2gram_frac": rep.column("top2gram_frac"),
+            "dup5gram_frac": rep.column("dup5gram_frac"),
         })
 
 
