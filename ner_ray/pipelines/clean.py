@@ -70,16 +70,25 @@ class QualityFilterStage:
             score = lid.column("lang_score") \
                 .to_numpy(zero_copy_only=False)
             keep &= lang_ok & (score >= self.min_lang_score)
-        if self.max_top2 is not None or self.max_dup5 is not None:
+        if ((self.max_top2 is not None or self.max_dup5 is not None)
+                and keep.any()):
             from ner_ray.stages.textstats import repetition_batch
 
-            rep = repetition_batch(view)
+            # the n-gram pass is the expensive filter — run it only
+            # over rows the cheap filters kept, then scatter back
+            alive = np.flatnonzero(keep)
+            rep = repetition_batch(
+                view.take(pa.array(alive)),
+                need_top2=self.max_top2 is not None,
+                need_dup5=self.max_dup5 is not None)
+            ok = np.ones(len(alive), dtype=bool)
             if self.max_top2 is not None:
-                keep &= rep.column("top2gram_frac") \
+                ok &= rep.column("top2gram_frac") \
                     .to_numpy(zero_copy_only=False) <= self.max_top2
             if self.max_dup5 is not None:
-                keep &= rep.column("dup5gram_frac") \
+                ok &= rep.column("dup5gram_frac") \
                     .to_numpy(zero_copy_only=False) <= self.max_dup5
+            keep[alive] &= ok
         return batch.filter(pa.array(keep))
 
 

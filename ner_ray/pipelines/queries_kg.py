@@ -435,12 +435,18 @@ def q_neardup_pairs(sf_dir: str):
     return mh.union(sh)
 
 
-@q("q_ngram_jaccard", sql="""
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       len(list_intersect(list_distinct(str_split(a.text, ' ')),
+# ONE definition of the word-set Jaccard both engines use — shared by
+# q_ngram_jaccard (its output column) and q_near_dedup_docs (its edge
+# predicate), so the "identical edge set" claim can't drift
+_JACCARD_EXPR = """len(list_intersect(list_distinct(str_split(a.text, ' ')),
                           list_distinct(str_split(b.text, ' ')))) * 1.0
            / greatest(len(list_distinct(list_concat(
-                 str_split(a.text, ' '), str_split(b.text, ' ')))), 1)
+                 str_split(a.text, ' '), str_split(b.text, ' ')))), 1)"""
+
+
+@q("q_ngram_jaccard", sql=f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {_JACCARD_EXPR}
            AS jaccard
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """)
@@ -486,12 +492,6 @@ def q_ngram_jaccard(sf_dir: str):
                              "jaccard": jac})
 
     return j.map_batches(jaccard, batch_format="pandas")
-
-
-_JACCARD_EXPR = """len(list_intersect(list_distinct(str_split(a.text, ' ')),
-                          list_distinct(str_split(b.text, ' ')))) * 1.0
-           / greatest(len(list_distinct(list_concat(
-                 str_split(a.text, ' '), str_split(b.text, ' ')))), 1)"""
 
 
 @q("q_near_dedup_docs", sql=f"""

@@ -636,6 +636,13 @@ def dedup_paragraphs(docs_ds, text_col: str = "text",
     ``hash_join`` on ``id_col`` if needed — not done here so the two
     corpus shuffles below stay paragraph-text-only.
 
+    EMPTY paragraphs (consecutive separators — blank lines) are
+    STRUCTURE, not content: they are exempt from dedup (every doc keeps
+    its own blank-line layout) and their bucket key is salted per
+    (doc, position) so the corpus's blank lines — easily the most
+    frequent "paragraph" on the web — never pile into one hash bucket
+    and create a straggler group.
+
     Distribution: the paragraph stream shuffles exactly twice — once
     grouped by paragraph-hash bucket to pick winners (winner choice
     compares the actual STRINGS inside each 64-bit-hash group, so hash
@@ -653,17 +660,24 @@ def dedup_paragraphs(docs_ds, text_col: str = "text",
         idx = (np.arange(int(counts.sum()))
                - np.repeat(np.cumsum(counts) - counts, counts))
         h = hash_column(flat)
+        bucket = to_bucket(h, num_buckets)
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        if empty.any():
+            # dedup-exempt rows: spread across buckets by position
+            bucket = np.where(
+                empty, (rep + idx).astype(bucket.dtype) % num_buckets,
+                bucket)
         return pa.table({
             id_col: pa.array(ids[rep]),
             "para_idx": pa.array(idx.astype(np.int64)),
             "para": flat,
-            "_b": pa.array(to_bucket(h, num_buckets)),
+            "_b": pa.array(bucket),
         })
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(["para", id_col, "para_idx"], kind="stable")
-        return s.loc[~s["para"].duplicated(),
-                     [id_col, "para_idx", "para"]]
+        dup = s["para"].duplicated() & (s["para"].to_numpy() != "")
+        return s.loc[~dup, [id_col, "para_idx", "para"]]
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("para_idx", kind="stable")

@@ -67,11 +67,18 @@ def stratified_sample(ds, fractions: dict, key_col: str = "source",
             return t
         u = _uniform01(t.column(id_col), seed)
         keys = t.column(key_col).to_pandas()
-        # few uniques: factorize-first rule — map uniques, gather
+        # few uniques: factorize-first rule — map uniques, gather.
+        # factorize codes nulls as -1, which would WRAP to the last
+        # unique on the gather — route them to default_fraction
         codes, uniq = pd.factorize(keys)
         per_uniq = np.array([fractions.get(k, default_fraction)
                              for k in uniq], dtype=np.float64)
-        frac = per_uniq[codes] if len(uniq) else np.zeros(len(t))
+        if len(uniq):
+            frac = np.where(codes >= 0,
+                            per_uniq[np.maximum(codes, 0)],
+                            default_fraction)
+        else:
+            frac = np.full(len(t), default_fraction)
         return t.filter(pa.array(u < frac))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -97,6 +104,9 @@ def mix_fractions(counts: dict, targets: dict) -> dict:
     domain with the least headroom (count/target) binds at fraction
     1.0 and every other domain downsamples to match. Domains not in
     ``targets`` get fraction 0.0."""
+    neg = {k: v for k, v in targets.items() if v < 0}
+    if neg:
+        raise ValueError(f"target weights must be >= 0: {neg}")
     tot = sum(targets.values())
     if tot <= 0:
         raise ValueError("targets must have positive total weight")

@@ -191,7 +191,9 @@ def winnow_dup_candidates(docs_ds, k: int = 3, w: int = 4,
     return counted.filter(expr=f"n_shared >= {int(min_shared)}")
 
 
-def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     need_top2: bool = True,
+                     need_dup5: bool = True) -> pa.Table:
     """Gopher-shaped repetition signals (Rae et al. 2021, arXiv:
     2112.11446 §A1.1 — the rule SHAPE; token-count fractions are this
     repo's own definition so the DuckDB oracle can pin them exactly):
@@ -227,7 +229,10 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             g = g + flat[off:off + m]
         return row[:m][ok], g[ok]
 
-    def per_doc(n: int):
+    def per_doc(n: int, need_top: bool, need_dup: bool):
+        """Only the requested reduction(s) run — callers that cap just
+        one signal (QualityFilterStage) skip the other's full-stream
+        groupby."""
         r, g = gram_rows(n)
         tot = np.maximum(counts - (n - 1), 0).astype(np.float64)
         top = np.zeros(len(batch), dtype=np.float64)
@@ -236,29 +241,38 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             sizes = pd.DataFrame({"i": r, "g": g}) \
                 .groupby(["i", "g"], sort=False).size()
             per_i = sizes.groupby(level=0)
-            mx = per_i.max()
-            nu = per_i.size()
-            top[mx.index.to_numpy()] = mx.to_numpy()
-            dst[nu.index.to_numpy()] = nu.to_numpy()
+            if need_top:
+                mx = per_i.max()
+                top[mx.index.to_numpy()] = mx.to_numpy()
+            if need_dup:
+                nu = per_i.size()
+                dst[nu.index.to_numpy()] = nu.to_numpy()
         denom = np.maximum(tot, 1.0)
         return top / denom, (tot - dst) / denom
 
-    top2, _ = per_doc(2)
-    _, dup5 = per_doc(5)
-    return pa.table({
-        "doc_id": batch.column("doc_id"),
-        "top2gram_frac": pa.array(top2, pa.float64()),
-        "dup5gram_frac": pa.array(dup5, pa.float64()),
-    })
+    cols = {"doc_id": batch.column("doc_id")}
+    if need_top2:
+        top2, _ = per_doc(2, True, False)
+        cols["top2gram_frac"] = pa.array(top2, pa.float64())
+    if need_dup5:
+        _, dup5 = per_doc(5, False, True)
+        cols["dup5gram_frac"] = pa.array(dup5, pa.float64())
+    return pa.table(cols)
 
 
 # PII patterns (RE2 syntax — shared by pyarrow and DuckDB): email,
 # international-ish phone numbers, dotted-quad IPv4. Public-knowledge
 # regex shapes; conservative on purpose (curation flags, not a legal
-# scrubber).
+# scrubber). Phone is two alternatives: spaces/dots/parens are only
+# accepted after an explicit "+" country code, and the bare form
+# requires hyphen separators with a >=3-digit final group — otherwise
+# ordinary grouped numerics ("1 200 000"), ISO dates (2026-08-17) and
+# dotted quads are rewritten as phones (RE2 has no lookahead, so the
+# disambiguation must live in the shape itself).
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "phone": (r"\+[0-9][0-9()\-. ]{6,}[0-9]"
+              r"|\(?[0-9]{3,4}\)?-[0-9]{2,4}-[0-9]{3,6}"),
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
 }
 

@@ -174,3 +174,42 @@ def test_clean_corpus_repetition_caps(ray_session):
                         langs=None, dedup=False,
                         max_top2gram_frac=0.5).to_pandas()
     assert kept["doc_id"].tolist() == [2]
+
+
+def test_pii_phone_not_grouped_numerics_or_dates():
+    """The phone pattern must not rewrite ordinary numeric text:
+    whitespace-grouped figures, ISO dates and dotted quads are not
+    phones (RE2 has no lookahead, so the shape itself disambiguates)."""
+    texts = [
+        "sales were 1 200 000 in 2026 overall",
+        "scores 12 34 56 78 end",
+        "released 2026-08-17 and 1999-12-31",
+        "versions 1.2.3 and 10.0.0.1 deployed",
+        "call +1 (555) 123-4567 or 555-123-4567 today",
+        "fax (0221)-123-456 works",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    c = pii_batch(t)
+    assert c.column("n_phone").to_pylist() == [0, 0, 0, 0, 2, 1]
+    r = redact_pii_batch(t).column("text").to_pylist()
+    assert r[0] == texts[0] and r[1] == texts[1] and r[2] == texts[2]
+    assert "[PHONE]" in r[4] and "555" not in r[4]
+
+
+def test_dedup_paragraphs_keeps_blank_line_structure(ray_session):
+    """Blank lines are layout, not content: every doc keeps its own
+    empty paragraphs even though they hash identically corpus-wide."""
+    import ray.data as rd
+
+    from ner_ray.stages.neardup import dedup_paragraphs
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "alpha\n\nbeta"},
+        {"doc_id": 2, "text": "gamma\n\ndelta"},
+        {"doc_id": 3, "text": "alpha\n\nepsilon"},
+    ])
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_paragraphs(docs).take_all()}
+    assert out[1] == "alpha\n\nbeta"
+    assert out[2] == "gamma\n\ndelta"          # blank line survives
+    assert out[3] == "\nepsilon"               # only "alpha" deduped

@@ -102,3 +102,29 @@ def test_downsample_to_mix_end_to_end(ray_session):
     assert set(got.index) == set(domains)
     # one domain binds at 1.0
     assert max(fracs.values()) == 1.0
+
+
+def test_stratified_sample_null_keys_use_default(ray_session):
+    """factorize codes nulls as -1; they must sample at
+    default_fraction, not wrap to the last domain's rate."""
+    import ray.data as rd
+
+    ds = rd.from_items([
+        {"doc_id": f"d{i}", "source": None if i % 3 == 0 else "z"}
+        for i in range(300)
+    ])
+    out = stratified_sample(ds, {"z": 1.0}, default_fraction=0.0) \
+        .to_pandas()
+    # every null-source row dropped, every z row kept
+    assert out["source"].notna().all()
+    assert len(out) == 200
+    # and the reverse: nulls kept when default_fraction = 1.0
+    out2 = stratified_sample(ds, {"z": 0.0}, default_fraction=1.0) \
+        .to_pandas()
+    assert out2["source"].isna().all()
+    assert len(out2) == 100
+
+
+def test_mix_fractions_rejects_negative_weights():
+    with pytest.raises(ValueError, match=">= 0"):
+        mix_fractions({"a": 10, "b": 10}, {"a": 1.0, "b": -0.5})
