@@ -19,6 +19,10 @@ hash()), so runs are reproducible across processes.
 
 from __future__ import annotations
 
+import logging
+import math
+from itertools import combinations
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -26,10 +30,35 @@ import pyarrow.compute as pc
 
 from ner_ray.util.hashing import hash_column, hash_columns
 
+_LOG = logging.getLogger(__name__)
+
 N_HASHES = 64
 N_BANDS = 16          # 16 bands x 4 rows
 ROWS_PER_BAND = N_HASHES // N_BANDS
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+# shuffle-group payload target for auto-sized bucket counts: each
+# groupby(bucket) group should hold ~this much data so one worker's
+# heap bounds the group regardless of corpus size
+TARGET_GROUP_BYTES = 128 << 20
+
+
+def _auto_buckets(ds, target_bytes: int = TARGET_GROUP_BYTES,
+                  lo: int = 16, hi: int = 1 << 16) -> int:
+    """Bucket count sized from the dataset's bytes so each hash-bucket
+    group carries ~``target_bytes`` of payload — a constant default
+    (the old 64) makes every group hold corpus/64 bytes, which at
+    100 TB is ~1.5 TB on one worker. ``ds.size_bytes()`` is metadata-
+    only for read_parquet-rooted and materialized datasets (the two
+    shapes every in-repo caller passes); for a lazy transformed chain
+    it triggers one execution — pass an explicit num_buckets there."""
+    try:
+        size = ds.size_bytes()
+    except Exception:
+        size = None
+    if not size:
+        return lo
+    return int(min(hi, max(lo, math.ceil(size / target_bytes))))
 
 
 def _rng_coeffs(seed: int = 42):
@@ -105,14 +134,59 @@ def minhash_band_rows(batch: pa.Table, text_col: str = "text",
     })
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(g["doc_id"].unique())
-    if len(ids) < 2:
-        # empty frame MUST keep the id dtype: a bare [] would be
-        # float64 and force schema unification against int64 groups
-        return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
-    i, j = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+# pair-listing buckets larger than this emit star edges + a warning
+# instead of all-pairs (no-silent-caps: the overflow is logged with the
+# exact pair count forgone)
+MAX_BUCKET_PAIR_MEMBERS = 10_000
+
+
+def _make_bucket_pairs(pair_mode: str = "all",
+                       max_bucket_size: int | None = None):
+    """Candidate-pair emitter for one LSH bucket.
+
+    ``pair_mode="all"``: triu all-pairs — O(m^2), complete pair
+    LISTING, but a viral near-dup family (a boilerplate page
+    templated 10M times survives exact dedup) makes one bucket emit
+    5e13 pairs on one worker. Buckets over ``max_bucket_size`` fall
+    back to star edges with a logged overflow so the listing use-case
+    degrades loudly, never silently and never quadratically.
+
+    ``pair_mode="star"``: (min_id, other) edges only — O(m), the
+    REMOVAL-sufficient spanning set: connected components need any
+    spanning subgraph of each bucket, and every emitted edge still
+    passes the exact verify stage downstream. Recall caveat (documented
+    at near_dedup_docs): a bucket member pair (b, c) that is similar
+    while the bucket min a is similar to neither loses its edge — that
+    requires b and c to share a full signature band with a dissimilar
+    smaller doc yet share none of their own, which the verify tests
+    bound on fixtures.
+    """
+    if pair_mode not in ("all", "star"):
+        raise ValueError(f"pair_mode must be 'all' or 'star': {pair_mode!r}")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        m = len(ids)
+        if m < 2:
+            # empty frame MUST keep the id dtype: a bare [] would be
+            # float64 and force schema unification against int64 groups
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
+        star = pair_mode == "star"
+        if not star and max_bucket_size is not None and m > max_bucket_size:
+            _LOG.warning(
+                "LSH bucket overflow: %d members > cap %d; emitting %d "
+                "star edges instead of %d all-pairs (pair listing is "
+                "incomplete for this bucket; removal via connected "
+                "components is unaffected)",
+                m, max_bucket_size, m - 1, m * (m - 1) // 2)
+            star = True
+        if star:
+            return pd.DataFrame({"doc_a": np.repeat(ids[0], m - 1),
+                                 "doc_b": ids[1:]})
+        i, j = np.triu_indices(m, k=1)
+        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+
+    return fn
 
 
 def _distinct_pairs(pairs_ds, a_col: str, b_col: str, aggs=()):
@@ -150,12 +224,20 @@ def _distinct_pairs(pairs_ds, a_col: str, b_col: str, aggs=()):
         .map_batches(drop_collisions, batch_format="pyarrow")
 
 
-def lsh_candidate_pairs(docs_ds, text_col: str = "text"):
-    """docs -> candidate near-dup pairs via banded minhash buckets."""
+def lsh_candidate_pairs(docs_ds, text_col: str = "text",
+                        pair_mode: str = "all",
+                        max_bucket_size: int | None =
+                        MAX_BUCKET_PAIR_MEMBERS):
+    """docs -> candidate near-dup pairs via banded minhash buckets.
+    ``pair_mode``/``max_bucket_size``: see _make_bucket_pairs — "star"
+    is the O(m)-per-bucket spanning set for corpus REMOVAL; "all" is
+    the complete pair listing, capped (with a logged overflow) so one
+    viral dup family cannot emit O(m^2) pairs on one worker."""
     bands = docs_ds.map_batches(
         lambda t: minhash_band_rows(t, text_col), batch_format="pyarrow")
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
+        _make_bucket_pairs(pair_mode, max_bucket_size),
+        batch_format="pandas")
     # distinct pairs (same pair can fire in many bands)
     from ray.data.aggregate import Count
 
@@ -228,7 +310,10 @@ MAX_DRIVER_VERIFY_PAIRS = 100_000
 
 def minhash_near_dups(docs_ds, text_col: str = "text", k: int = 3,
                       threshold: float = 0.7, num_partitions: int = 8,
-                      max_driver_verify_pairs: int = MAX_DRIVER_VERIFY_PAIRS):
+                      max_driver_verify_pairs: int = MAX_DRIVER_VERIFY_PAIRS,
+                      pair_mode: str = "all",
+                      max_bucket_size: int | None =
+                      MAX_BUCKET_PAIR_MEMBERS):
     """Full MinHash-LSH near-dup pipeline with a verify-size dispatch
     (SURVEY.md §2.7 D4; same shape as canon.canonicalize):
 
@@ -242,7 +327,8 @@ def minhash_near_dups(docs_ds, text_col: str = "text", k: int = 3,
       docs table twice (doc_a then doc_b); exact shingle-Jaccard runs
       vectorized inside map_batches — nothing driver-side, candidate
       volume and doc count both unbounded."""
-    cand = lsh_candidate_pairs(docs_ds, text_col) \
+    cand = lsh_candidate_pairs(docs_ds, text_col, pair_mode=pair_mode,
+                               max_bucket_size=max_bucket_size) \
         .select_columns(["doc_a", "doc_b"]).materialize()
     if cand.count() <= max_driver_verify_pairs:
         import ray
@@ -314,9 +400,55 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(sh))
 
 
-def simhash_near_dups(docs_ds, max_hamming: int = 3):
-    """Hamming<=k near-dups via 4x16-bit band buckets (two signatures
-    within Hamming 3 share at least one exact 16-bit band)."""
+def _simhash_tables(max_hamming: int):
+    """Block layout + table key schedule for EXACT Hamming<=k candidate
+    generation with a wide (~32-bit) bucket keyspace.
+
+    Generalizes the multi-table trick of Manku, Jain & Das Sarma,
+    "Detecting Near-Duplicates for Web Crawling" (WWW 2007): split the
+    64-bit simhash into 2k blocks; any <=k bit errors touch at most k
+    blocks, leaving >=k clean ones, so keying one table on each
+    distinct k-subset of blocks guarantees an exact key match in at
+    least one table. Table count C(2k, k) (k=3 -> 20 tables), key
+    width k * 64/(2k) = 32 bits — vs the old fixed 4x16-bit scheme
+    whose 65,536-key band space fills with random non-dups at >=1e9
+    docs (expected bucket ~N/65k -> O(m^2) verify blowup no parameter
+    could fix). At 32-bit keys the expected random bucket is N/4e9.
+
+    Hamming-ball probing was the alternative (enumerate key neighbors,
+    as similarity.py's LSH index does for Hamming-1); the clean-subset
+    schedule achieves the same guarantee with exact keys and fewer
+    emitted rows (20/doc vs ~66/doc for ball-radius-1 over 2 blocks).
+
+    Returns (tables, widths, offsets): tables = list of block-index
+    tuples, widths/offsets = per-block bit geometry.
+    """
+    k = max(int(max_hamming), 0)
+    if k == 0:      # exact signature equality: one full-width table
+        return [(0,)], [64], [0]
+    n_blocks = 2 * k
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [0] * n_blocks
+    for i in range(1, n_blocks):
+        offsets[i] = offsets[i - 1] + widths[i - 1]
+    tables = list(combinations(range(n_blocks), k))
+    return tables, widths, offsets
+
+
+def simhash_near_dups(docs_ds, max_hamming: int = 3,
+                      pair_mode: str = "all",
+                      max_bucket_size: int | None =
+                      MAX_BUCKET_PAIR_MEMBERS):
+    """Hamming<=k near-dups via permuted clean-block-subset tables
+    (_simhash_tables): candidate generation is EXACT (every pair within
+    Hamming k shares a full table key by pigeonhole) and the bucket
+    keyspace is ~2^32 per table, so buckets stay dup-only even at
+    1e9+ docs. Verified by exact Hamming inside each bucket.
+    ``pair_mode``/``max_bucket_size``: see _make_bucket_pairs."""
+    tables, widths, offsets = _simhash_tables(max_hamming)
+    n_tables = len(tables)
+
     def bands(t: pa.Table) -> pa.Table:
         sh = t.column("simhash").to_numpy(zero_copy_only=False)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -329,35 +461,54 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
             False).to_numpy(zero_copy_only=False).astype(bool)
         sh, ids = sh[nonempty], ids[nonempty]
         n = len(sh)
-        out_band = np.tile(np.arange(4, dtype=np.int32), n)
-        out_key = np.empty(4 * n, dtype=np.uint64)
-        for bnd in range(4):
-            out_key[bnd::4] = (sh >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
+        sh_u = sh.astype(np.uint64)
+        blocks = [(sh_u >> np.uint64(offsets[b]))
+                  & np.uint64((1 << widths[b]) - 1)
+                  for b in range(len(widths))]
+        out_key = np.empty(n_tables * n, dtype=np.uint64)
+        for ti, tbl in enumerate(tables):
+            key = np.zeros(n, dtype=np.uint64)
+            shift = 0
+            for b in tbl:
+                key |= blocks[b] << np.uint64(shift)
+                shift += widths[b]
+            out_key[ti::n_tables] = key
         return pa.table({
-            "band_id": pa.array(out_band),
-            # 16-bit keys / int64-view payload: native Arrow shuffle
+            "band_id": pa.array(np.tile(
+                np.arange(n_tables, dtype=np.int32), n)),
+            # <=32-bit keys in an int64 column: native Arrow shuffle
             "band_key": pa.array(out_key.astype(np.int64)),
-            "doc_id": pa.array(np.repeat(ids, 4)),
-            "simhash": pa.array(np.repeat(sh, 4).view(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, n_tables)),
+            "simhash": pa.array(np.repeat(sh, n_tables).view(np.int64)),
         })
 
     with_sig = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
     band_rows = with_sig.map_batches(bands, batch_format="pyarrow")
 
+    emit = _make_bucket_pairs(pair_mode, max_bucket_size)
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        i, j = np.triu_indices(len(g), k=1)
-        x = sh[i] ^ sh[j]
+            return pd.DataFrame({
+                "doc_a": g["doc_id"].to_numpy()[:0],
+                "doc_b": g["doc_id"].to_numpy()[:0],
+                "hamming": pd.Series([], dtype="int64")})
+        cand = emit(g[["doc_id"]])
+        # g is unique + sorted on doc_id -> positional signature lookup
+        # via searchsorted (vectorized; no Python dict over the bucket)
+        ids_sorted = g["doc_id"].to_numpy()
+        sigs = g["simhash"].to_numpy().astype(np.uint64)
+        sa = sigs[np.searchsorted(ids_sorted, cand["doc_a"].to_numpy())]
+        sb = sigs[np.searchsorted(ids_sorted, cand["doc_b"].to_numpy())]
+        x = sa ^ sb
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x = x >> np.uint64(1)
         keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[i][keep], "doc_b": ids[j][keep],
+        return pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
+                             "doc_b": cand["doc_b"].to_numpy()[keep],
                              "hamming": ham[keep]})
 
     pairs = band_rows.groupby(["band_id", "band_key"]).map_groups(
@@ -379,7 +530,8 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
                     pairs_ds=None, a_col: str = "doc_a",
                     b_col: str = "doc_b",
                     max_broadcast_drops: int = MAX_BROADCAST_DROPS,
-                    num_buckets: int = 64, **detector_kwargs):
+                    num_buckets: int | None = None,
+                    materialize: bool = True, **detector_kwargs):
     """Corpus-level near-duplicate REMOVAL — the operator a training-
     data pipeline actually wants on top of pair listing: detect pairs,
     cluster them into connected components, keep ONE representative per
@@ -403,14 +555,34 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
       and safe for list<>-typed payload columns that Dataset.join's
       Acero backend rejects.
 
+    * ``materialize=False`` is the RE-READ mode for corpora near
+      cluster memory: the corpus is NOT pinned in the object store —
+      each consumer (detector pass, key-type probe, anti filter)
+      re-executes the upstream lineage instead (same pattern as
+      ivf.py's materialize=False). Recompute cost traded for zero
+      pinned footprint; outputs identical either way.
+    * the text detectors run in ``pair_mode="star"`` by default here
+      (override via detector_kwargs): components only need a spanning
+      edge set per bucket, so a 10M-member viral-dup bucket emits 10M
+      star edges instead of 5e13 all-pairs. Every star edge still
+      passes the exact verify stage. Recall caveat (vs pair_mode=
+      "all"): within one bucket, a similar pair (b, c) whose bucket
+      min a is similar to NEITHER loses its edge unless b and c also
+      share a bucket of their own — they almost always do, since
+      similar docs share their own signature bands; equality of the
+      survivor set is asserted on fixtures in tests.
+
     Returns the surviving docs Dataset with all input columns.
     Idempotent: re-running on the output finds no pairs."""
     from ner_ray.stages.canon import canonicalize
 
     # the corpus is consumed by several passes (detector, key-type
     # probe, anti filter) — pin it once rather than re-executing the
-    # upstream lineage per consumer
-    docs_ds = docs_ds.materialize()
+    # upstream lineage per consumer (materialize=False: re-read mode)
+    if materialize:
+        docs_ds = docs_ds.materialize()
+    if num_buckets is None:
+        num_buckets = _auto_buckets(docs_ds)
     key_type = None
     for b in docs_ds.limit(1).iter_batches(batch_format="pyarrow"):
         key_type = b.schema.field(id_col).type
@@ -425,6 +597,7 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
                 det_in = det_in.map_batches(
                     lambda t: t.rename_columns(["doc_id", "text"]),
                     batch_format="pyarrow")
+            detector_kwargs.setdefault("pair_mode", "star")
             if method == "minhash":
                 pairs_ds = minhash_near_dups(det_in, **detector_kwargs)
             else:
@@ -495,19 +668,22 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
 def anti_filter_docs(docs_ds, drops_ds, drop_col: str = "entity_id",
                      id_col: str = "doc_id",
                      max_broadcast_drops: int = MAX_BROADCAST_DROPS,
-                     num_buckets: int = 64):
-    """Remove the rows whose ``id_col`` appears in ``drops_ds``
-    (``drop_col``), size-dispatched:
+                     num_buckets: int | None = None, anti: bool = True):
+    """Remove (``anti=True``) or keep (``anti=False`` — a semi filter)
+    the rows whose ``id_col`` appears in ``drops_ds`` (``drop_col``),
+    size-dispatched:
 
-    * drop count at or below ``max_broadcast_drops``: the drop-id set
+    * key count at or below ``max_broadcast_drops``: the key set
       broadcasts once and the corpus streams through an is_in filter —
       NO shuffle of the corpus;
-    * above: corpus and drop keys are hash-bucketed and anti-filtered
+    * above: corpus and filter keys are hash-bucketed and filtered
       per bucket in map_groups — one corpus shuffle, exact, and safe
       for list<>-typed payload columns Dataset.join's Acero backend
       rejects (the payload rides through groupby untouched).
+      ``num_buckets=None`` auto-sizes from the corpus bytes
+      (~TARGET_GROUP_BYTES of payload per bucket group).
 
-    Drop keys may be strings even when the corpus id is integral (the
+    Filter keys may be strings even when the corpus id is integral (the
     component step stringifies); they are cast back to the corpus key
     type before filtering."""
     from ner_ray.util.hashing import to_bucket
@@ -515,7 +691,11 @@ def anti_filter_docs(docs_ds, drops_ds, drop_col: str = "entity_id",
     drops = drops_ds.materialize()
     n_drops = drops.count()
     if n_drops == 0:
-        return docs_ds
+        if anti:
+            return docs_ds
+        return docs_ds.limit(0)
+    if num_buckets is None:
+        num_buckets = _auto_buckets(docs_ds)
     # ONE schema probe covers both paths (key type + full layout)
     key_type, names, types = None, [], []
     for b in docs_ds.limit(1).iter_batches(batch_format="pyarrow"):
@@ -530,7 +710,7 @@ def anti_filter_docs(docs_ds, drops_ds, drop_col: str = "entity_id",
              for b in drops.iter_batches(batch_format="pyarrow")])
         if key_type is not None and ids.type != key_type:
             ids = ids.cast(key_type)
-        return semi_join(docs_ds, ids.to_pylist(), on=id_col, anti=True)
+        return semi_join(docs_ds, ids.to_pylist(), on=id_col, anti=anti)
 
     def tag_docs(t: pa.Table) -> pa.Table:
         b = to_bucket(hash_column(t.column(id_col)), num_buckets)
@@ -557,8 +737,10 @@ def anti_filter_docs(docs_ds, drops_ds, drop_col: str = "entity_id",
         is_drop = pc.equal(g.column("_is_drop"), pa.scalar(1, pa.int8()))
         drop_ids = g.filter(is_drop).column(id_col)
         doc_rows = g.filter(pc.invert(is_drop))
-        mask = pc.invert(pc.is_in(doc_rows.column(id_col),
-                                  value_set=drop_ids.combine_chunks()))
+        mask = pc.is_in(doc_rows.column(id_col),
+                        value_set=drop_ids.combine_chunks())
+        if anti:
+            mask = pc.invert(mask)
         return doc_rows.filter(mask).drop_columns(["_bucket", "_is_drop"])
 
     return both.groupby("_bucket").map_groups(anti_bucket,
@@ -568,16 +750,23 @@ def anti_filter_docs(docs_ds, drops_ds, drop_col: str = "entity_id",
 def exact_dedup_docs(docs_ds, text_col: str = "text",
                      id_col: str = "doc_id",
                      max_broadcast_drops: int = MAX_BROADCAST_DROPS,
-                     num_buckets: int = 64):
+                     num_buckets: int | None = None,
+                     materialize: bool = True):
     """Exact-duplicate REMOVAL keeping the min-id row per distinct
     text (the survivor-set counterpart of ``exact_dedup``, which
     returns the keyed summary). Only (content-hash, id) scalar pairs
     shuffle — never texts; per hash-bucket the non-min ids are found
     with a vectorized groupby-transform, then anti-filtered out of the
-    corpus via the shared size dispatch."""
+    corpus via the shared size dispatch. ``num_buckets=None``
+    auto-sizes from corpus bytes; ``materialize=False`` is the re-read
+    mode (corpus not pinned; the pair and anti passes re-execute the
+    upstream — see near_dedup_docs)."""
     from ner_ray.util.hashing import to_bucket
 
-    docs_ds = docs_ds.materialize()  # consumed by pair + anti passes
+    if materialize:  # consumed by pair + anti passes
+        docs_ds = docs_ds.materialize()
+    if num_buckets is None:
+        num_buckets = _auto_buckets(docs_ds)
 
     def pairs(t: pa.Table) -> pa.Table:
         h = hash_column(t.column(text_col))
@@ -621,7 +810,8 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def dedup_paragraphs(docs_ds, text_col: str = "text",
                      id_col: str = "doc_id", sep: str = "\n",
-                     num_buckets: int = 64, drop_empty: bool = True):
+                     num_buckets: int | None = None,
+                     drop_empty: bool = True):
     """Paragraph-granular exact dedup across the WHOLE corpus (the C4
     move: web corpora repeat boilerplate paragraphs across millions of
     pages, so dedup below document granularity): split each doc on
@@ -647,8 +837,20 @@ def dedup_paragraphs(docs_ds, text_col: str = "text",
     grouped by paragraph-hash bucket to pick winners (winner choice
     compares the actual STRINGS inside each 64-bit-hash group, so hash
     collisions cannot merge distinct paragraphs), once grouped by doc
-    to reassemble. Idempotent."""
+    to reassemble. Idempotent.
+
+    ``num_buckets=None`` auto-sizes from the corpus bytes so each
+    keep-first group carries ~TARGET_GROUP_BYTES of paragraph text
+    regardless of corpus size (a fixed default would concentrate
+    corpus/N bytes of text per group); outputs are bucket-count
+    INDEPENDENT (each paragraph's winner is a global property). The
+    size probe is metadata-only for read-rooted/materialized inputs;
+    pass an explicit count for lazy transformed chains to stay
+    one-pass."""
     from ner_ray.util.hashing import to_bucket
+
+    if num_buckets is None:
+        num_buckets = _auto_buckets(docs_ds)
 
     def explode(t: pa.Table) -> pa.Table:
         paras = pc.split_pattern(t.column(text_col), sep)

@@ -175,14 +175,20 @@ def winnow_dup_candidates(docs_ds, k: int = 3, w: int = 4,
     """Fingerprint-based near-dup candidates: docs sharing at least
     ``min_shared`` winnowing fingerprints. Shuffles only (fp, doc_id)
     rows — the same banded-candidate shape as MinHash-LSH, but with
-    the winnowing guarantee on long shared runs."""
-    from ner_ray.stages.neardup import _bucket_pairs
+    the winnowing guarantee on long shared runs. Buckets over
+    MAX_BUCKET_PAIR_MEMBERS emit star edges with a logged overflow
+    (hot-bucket cap, see neardup._make_bucket_pairs)."""
+    from ner_ray.stages.neardup import (
+        MAX_BUCKET_PAIR_MEMBERS,
+        _make_bucket_pairs,
+    )
 
     rows = docs_ds.map_batches(
         lambda t: winnow_fingerprint_batch(t, k, w),
         batch_format="pyarrow")
-    pairs = rows.groupby("fp").map_groups(_bucket_pairs,
-                                          batch_format="pandas")
+    pairs = rows.groupby("fp").map_groups(
+        _make_bucket_pairs("all", MAX_BUCKET_PAIR_MEMBERS),
+        batch_format="pandas")
     from ray.data.aggregate import Count
 
     counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
