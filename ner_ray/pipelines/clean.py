@@ -102,9 +102,14 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                  dedup: bool = True,
                  near_dup_method: str | None = None,
                  near_dup_kwargs: dict | None = None,
+                 decontaminate_against=None, decontam_n: int = 13,
+                 materialize: bool = True,
+                 checkpoint=None, docs_fp: str = "", eval_fp: str = "",
+                 fail_after: str = "",
                  return_stats: bool = False):
-    """Quality-filter -> exact dedup -> optional near-dedup, returning
-    the surviving docs Dataset (all columns intact).
+    """Quality-filter -> exact dedup -> optional near-dedup -> optional
+    benchmark decontamination, returning the surviving docs Dataset
+    (all columns intact).
 
     * the quality/language filter is ONE fused actor-pool map_batches
       pass — pure streaming, nothing materializes;
@@ -112,28 +117,83 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
       only scalar (hash, id) pairs shuffle);
     * ``near_dup_method`` in {"minhash", "simhash", "embedding"} chains
       ``near_dedup_docs`` with ``near_dup_kwargs``;
+    * ``decontaminate_against`` (a Dataset of eval texts) drops every
+      surviving doc sharing a ``decontam_n``-word n-gram with the eval
+      set — LAST, so the (expensive) n-gram scan runs over the already
+      deduped corpus; map-only broadcast path (stages/decontam.py);
+    * ``materialize=False`` is the re-read mode for corpora near
+      cluster memory: no stage output pins in the object store — each
+      multi-pass consumer re-executes its upstream instead (mirrors
+      ivf.py / near_dedup_docs); identical outputs, recompute traded
+      for zero pinned footprint;
+    * ``checkpoint`` (a CheckpointManager or root path) + ``docs_fp``
+      (input fingerprint) write each stage's survivors as a manifest-
+      stamped partitioned Parquet checkpoint with per-partition lineage
+      rows; a rerun with identical inputs/config SKIPS finished stages
+      (status="skipped") and a killed run resumes from the last
+      finished stage. ``eval_fp`` must fingerprint the eval set when
+      decontaminating under a checkpoint. ``fail_after`` names a stage
+      to die after (test hook, mirrors jobs/build_graph.py).
     * ``return_stats=True`` additionally returns {"docs_in",
-      "after_filter", "after_exact", "after_near"} — each count is a
-      streaming aggregate but forces execution of its prefix, so leave
-      it off in latency-sensitive paths.
+      "after_filter", "after_exact", "after_near", "after_decontam"} —
+      each count is a streaming aggregate but forces execution of its
+      prefix, so leave it off in latency-sensitive paths.
     """
+    cm = None
+    if checkpoint is not None:
+        from ner_ray.state.lineage import CheckpointManager, fingerprint
+
+        cm = (checkpoint if isinstance(checkpoint, CheckpointManager)
+              else CheckpointManager(checkpoint))
+        if not docs_fp:
+            raise ValueError(
+                "checkpoint= requires docs_fp (a fingerprint of the docs "
+                "corpus, e.g. input_fingerprint(docs_path)) so stale "
+                "checkpoints are not reused across corpora")
+        if decontaminate_against is not None and not eval_fp:
+            raise ValueError("checkpoint= with decontaminate_against "
+                             "requires eval_fp")
+
+    def _stage(name: str, fp_parts, ds_thunk):
+        """Checkpoint wrapper: run_stage when checkpointed (output
+        pinned on disk -> also the multi-consumer pin), else the thunk
+        with the in-memory materialize policy."""
+        if cm is None:
+            return None, ds_thunk()
+        fp = fingerprint(name, *fp_parts)
+        out = cm.run_stage(name, fp, ds_thunk)
+        if fail_after == name:
+            raise RuntimeError(f"fail_after test hook: {name}")
+        return fp, out
+
     stats: dict[str, int] = {}
     if return_stats:
         stats["docs_in"] = docs_ds.count()
 
-    filtered = docs_ds.map_batches(
-        QualityFilterStage, batch_format="pyarrow",
-        fn_constructor_kwargs={
-            "text_col": text_col, "id_col": id_col,
-            "min_words": min_words,
-            "min_mean_word_len": min_mean_word_len,
-            "max_mean_word_len": max_mean_word_len,
-            "min_uniq_ratio": min_uniq_ratio, "langs": langs,
-            "min_lang_score": min_lang_score,
-            "max_top2gram_frac": max_top2gram_frac,
-            "max_dup5gram_frac": max_dup5gram_frac,
-        }, concurrency=(1, 8), num_cpus=1)
-    if dedup or near_dup_method or return_stats:
+    cfg_filter = (f"{text_col}|{id_col}|{min_words}|{min_mean_word_len}"
+                  f"|{max_mean_word_len}|{min_uniq_ratio}"
+                  f"|{sorted(langs) if langs else None}|{min_lang_score}"
+                  f"|{max_top2gram_frac}|{max_dup5gram_frac}")
+
+    def run_filter():
+        return docs_ds.map_batches(
+            QualityFilterStage, batch_format="pyarrow",
+            fn_constructor_kwargs={
+                "text_col": text_col, "id_col": id_col,
+                "min_words": min_words,
+                "min_mean_word_len": min_mean_word_len,
+                "max_mean_word_len": max_mean_word_len,
+                "min_uniq_ratio": min_uniq_ratio, "langs": langs,
+                "min_lang_score": min_lang_score,
+                "max_top2gram_frac": max_top2gram_frac,
+                "max_dup5gram_frac": max_dup5gram_frac,
+            }, concurrency=(1, 8), num_cpus=1)
+
+    fp_prev, filtered = _stage("clean_filter", [docs_fp, cfg_filter],
+                               run_filter)
+    if cm is None and materialize and (dedup or near_dup_method
+                                       or decontaminate_against is not None
+                                       or return_stats):
         # the dedup stages each consume their input more than once
         # (pair/detector pass + anti pass); pin the filtered corpus so
         # the quality/langid actors run exactly one streaming pass
@@ -146,19 +206,47 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     if dedup:
         from ner_ray.stages.neardup import exact_dedup_docs
 
-        out = exact_dedup_docs(out, text_col=text_col, id_col=id_col)
+        src = out
+        fp_prev, out = _stage(
+            "clean_exact_dedup", [fp_prev or docs_fp],
+            lambda: exact_dedup_docs(src, text_col=text_col,
+                                     id_col=id_col,
+                                     materialize=materialize))
         if return_stats:
-            out = out.materialize()
+            if cm is None and materialize:
+                out = out.materialize()
             stats["after_exact"] = out.count()
 
     if near_dup_method:
         from ner_ray.stages.neardup import near_dedup_docs
 
-        out = near_dedup_docs(out, method=near_dup_method,
-                              text_col=text_col, id_col=id_col,
-                              **(near_dup_kwargs or {}))
+        src = out
+        fp_prev, out = _stage(
+            "clean_near_dedup",
+            [fp_prev or docs_fp, near_dup_method,
+             repr(sorted((near_dup_kwargs or {}).items()))],
+            lambda: near_dedup_docs(src, method=near_dup_method,
+                                    text_col=text_col, id_col=id_col,
+                                    materialize=materialize,
+                                    **(near_dup_kwargs or {})))
         if return_stats:
-            out = out.materialize()
+            if cm is None and materialize:
+                out = out.materialize()
             stats["after_near"] = out.count()
+
+    if decontaminate_against is not None:
+        from ner_ray.stages.decontam import decontaminate
+
+        src = out
+        fp_prev, out = _stage(
+            "clean_decontam",
+            [fp_prev or docs_fp, eval_fp, str(decontam_n)],
+            lambda: decontaminate(src, decontaminate_against,
+                                  n=decontam_n, text_col=text_col,
+                                  id_col=id_col))
+        if return_stats:
+            if cm is None and materialize:
+                out = out.materialize()
+            stats["after_decontam"] = out.count()
 
     return (out, stats) if return_stats else out

@@ -524,7 +524,15 @@ def q_near_dedup_docs(sf_dir: str):
     return kept.select_columns(["doc_id", "source", "n_chars"])
 
 
-@q("q_clean_corpus", sql="""
+# ONE n-gram expression both engines' decontamination leg derives
+# from: every 13-word window of text, space-joined (ws[i:i+12] is the
+# 13-element inclusive DuckDB slice)
+_NGRAMS_13 = """list_transform(
+    range(1, greatest(len(str_split({t}, ' ')) - 11, 1)),
+    i -> array_to_string(str_split({t}, ' ')[i:i+12], ' '))"""
+
+
+@q("q_clean_corpus", sql=f"""
 WITH m AS (
   SELECT doc_id, source, n_chars, text,
          CASE WHEN trim(text) = '' THEN 0
@@ -533,26 +541,53 @@ WITH m AS (
              / greatest(len(str_split(text, ' ')), 1) AS mwl,
          len(list_distinct(str_split(text, ' '))) * 1.0
              / greatest(len(str_split(text, ' ')), 1) AS uq
-  FROM documents),
+  FROM documents WHERE doc_id % 10 <> 3),
 f AS (SELECT * FROM m
-      WHERE nw >= 25 AND mwl >= 4.0 AND mwl <= 5.1 AND uq >= 0.35)
-SELECT doc_id, source, n_chars FROM f
-WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY text)
+      WHERE nw >= 25 AND mwl >= 4.0 AND mwl <= 5.1 AND uq >= 0.35),
+d AS (SELECT doc_id, source, n_chars, text FROM f
+      WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY text)),
+ev AS (SELECT DISTINCT unnest({_NGRAMS_13.format(t='text')}) AS g
+       FROM documents WHERE doc_id % 10 = 3),
+con AS (SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, unnest({_NGRAMS_13.format(t='text')}) AS g
+          FROM d) WHERE g IN (SELECT g FROM ev))
+SELECT doc_id, source, n_chars FROM d
+WHERE doc_id NOT IN (SELECT doc_id FROM con)
 """)
 def q_clean_corpus(sf_dir: str):
-    """C4-style corpus cleaning, value-matched: fused quality filter
-    (word count / mean word length / distinct-word ratio — the same
-    kernels q_text_stats value-matches column by column) then exact
-    dedup with min-id survivors; thresholds sit inside the synthetic
-    corpus's metric spread so the filter genuinely drops rows (~35% at
-    sf0.01). The language-ID leg of the filter is engine-specific and
-    is exercised by q_doc_signals and tests/test_clean_corpus.py."""
+    """C4-style corpus cleaning, value-matched end to end: fused
+    quality filter (word count / mean word length / distinct-word
+    ratio — the same kernels q_text_stats value-matches column by
+    column), exact dedup with min-id survivors, then BENCHMARK
+    DECONTAMINATION — docs with doc_id % 10 == 3 act as the held-out
+    eval set and every surviving train doc sharing a 13-word n-gram
+    with it is dropped (the standard n=13 recipe; stages/decontam.py,
+    map-only broadcast path). Ray matches n-grams by seed-stable
+    64-bit hash, the oracle by string — the same hash-equality
+    contract exact dedup value-matches under. Thresholds sit inside
+    the synthetic corpus's metric spread so every leg genuinely drops
+    rows at sf0.01. The language-ID leg of the filter is engine-
+    specific and is exercised by q_doc_signals and
+    tests/test_clean_corpus.py."""
     from ner_ray.pipelines.clean import clean_corpus
 
-    docs = _rp(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    def is_train(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 != 3))
+
+    def is_eval(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 3))
+
+    docs = _rp(sf_dir, "documents",
+               ["doc_id", "text", "source", "n_chars"]) \
+        .map_batches(is_train, batch_format="pyarrow")
+    eval_ds = _rp(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(is_eval, batch_format="pyarrow")
     out = clean_corpus(docs, min_words=25, min_mean_word_len=4.0,
                        max_mean_word_len=5.1, min_uniq_ratio=0.35,
-                       langs=None, dedup=True)
+                       langs=None, dedup=True,
+                       decontaminate_against=eval_ds, decontam_n=13)
     return out.select_columns(["doc_id", "source", "n_chars"])
 
 

@@ -1,0 +1,142 @@
+"""Benchmark decontamination — the standard corpus-curation step of
+removing training documents that share any length-n word n-gram with a
+held-out evaluation set (the public recipe used for GPT-3/PaLM-style
+training-data hygiene; n=13 is the customary default).
+
+Scale shape: the eval side is small by nature (benchmark suites are
+MBs against a 100-TB corpus), so its distinct n-gram hashes collect to
+the driver once and broadcast via ``ray.put``; the corpus then streams
+through ONE map-only filter — no shuffle, no materialization of the
+corpus. For a pathologically large eval set (above
+``max_broadcast_hashes``) the operator switches to an exact bucketed
+path: the corpus's (ngram-hash, id) scalar pairs and the eval hashes
+co-shuffle into hash buckets, contaminated ids fall out per bucket,
+and the shared anti-filter removes them — corpus text shuffles never.
+
+n-gram identity is the seed-stable 64-bit hash of the space-joined
+word window (ner_ray.util.hashing) — the same hash-equality contract
+exact_dedup already value-matches under; the DuckDB oracle compares
+the n-gram STRINGS directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ner_ray.stages.neardup import _shingle_hashes, anti_filter_docs
+from ner_ray.util.hashing import to_bucket
+
+# eval n-gram hash sets above this switch from broadcast to the
+# bucketed exact path (8 bytes/hash -> ~400 MB broadcast at the cap)
+MAX_BROADCAST_HASHES = 50_000_000
+
+
+def _batch_ngram_hashes(texts: pa.ChunkedArray | pa.Array,
+                        n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, uint64 hash) of every word n-gram in the batch."""
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(texts, "").to_pandas()
+    return _shingle_hashes(s, k=n)
+
+
+def eval_ngram_hashes(eval_ds, text_col: str = "text",
+                      n: int = 13) -> np.ndarray:
+    """Sorted distinct uint64 n-gram hashes of the eval set. Per-batch
+    partial dedup runs distributed; only unique hashes (bounded by the
+    eval set's size, small by contract) reach the driver."""
+    def partial(t: pa.Table) -> pa.Table:
+        _, h = _batch_ngram_hashes(t.column(text_col), n)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    parts = [b.column("h").to_numpy(zero_copy_only=False)
+             for b in eval_ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    if not parts:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.concatenate(parts).view(np.uint64))
+
+
+def decontaminate(docs_ds, eval_ds=None, n: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eval_text_col: str | None = None,
+                  eval_hashes: np.ndarray | None = None,
+                  max_broadcast_hashes: int = MAX_BROADCAST_HASHES,
+                  num_buckets: int | None = None):
+    """Drop every doc sharing at least one word n-gram with the eval
+    set. Pass ``eval_ds`` (a Dataset with ``eval_text_col``, default =
+    ``text_col``) or precomputed ``eval_hashes`` (sorted uint64, e.g.
+    persisted once and reused across corpus shards). Returns the
+    surviving docs with all columns; map-only (no corpus shuffle) on
+    the broadcast path."""
+    import ray
+
+    if eval_hashes is None:
+        if eval_ds is None:
+            raise ValueError("decontaminate needs eval_ds or eval_hashes")
+        eval_hashes = eval_ngram_hashes(
+            eval_ds, text_col=eval_text_col or text_col, n=n)
+    eval_hashes = np.asarray(eval_hashes, dtype=np.uint64)
+    if len(eval_hashes) == 0:
+        return docs_ds
+
+    if len(eval_hashes) <= max_broadcast_hashes:
+        ref = ray.put(np.sort(eval_hashes))
+
+        def drop(t: pa.Table) -> pa.Table:
+            hs = ray.get(ref)
+            row, h = _batch_ngram_hashes(t.column(text_col), n)
+            idx = np.searchsorted(hs, h)
+            hit = np.where(idx < len(hs), hs[np.minimum(idx, len(hs) - 1)]
+                           == h, False)
+            keep = np.ones(len(t), dtype=bool)
+            keep[np.unique(row[hit])] = False
+            return t.filter(pa.array(keep))
+
+        return docs_ds.map_batches(drop, batch_format="pyarrow")
+
+    # bucketed exact path: corpus (hash, id) pairs + eval hashes
+    # co-shuffle by hash bucket; contaminated ids fall out per bucket
+    if num_buckets is None:
+        from ner_ray.stages.neardup import _auto_buckets
+
+        num_buckets = _auto_buckets(docs_ds)
+    import ray.data as rd
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        row, h = _batch_ngram_hashes(t.column(text_col), n)
+        ids = t.column(id_col).take(pa.array(row))
+        return pa.table({
+            "_h": pa.array(h.view(np.int64)),
+            id_col: ids,
+            "_b": pa.array(to_bucket(h, num_buckets)),
+            "_is_eval": pa.array(np.zeros(len(h), np.int8)),
+        })
+
+    id_type = None
+    for b in docs_ds.limit(1).iter_batches(batch_format="pyarrow"):
+        id_type = b.schema.field(id_col).type
+    ev_tbl = pa.table({
+        "_h": pa.array(eval_hashes.view(np.int64)),
+        id_col: pa.nulls(len(eval_hashes), id_type),
+        "_b": pa.array(to_bucket(eval_hashes, num_buckets)),
+        "_is_eval": pa.array(np.ones(len(eval_hashes), np.int8)),
+    })
+    both = docs_ds.map_batches(doc_rows, batch_format="pyarrow") \
+        .union(rd.from_arrow(ev_tbl))
+
+    def contaminated(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_ev = pc.equal(g.column("_is_eval"), pa.scalar(1, pa.int8()))
+        ev_h = g.filter(is_ev).column("_h")
+        doc = g.filter(pc.invert(is_ev))
+        hit = pc.is_in(doc.column("_h"), value_set=ev_h.combine_chunks())
+        out = doc.filter(hit).select([id_col])
+        return out.group_by(id_col).aggregate([])   # distinct ids
+
+    drops = both.groupby("_b").map_groups(contaminated,
+                                          batch_format="pyarrow")
+    return anti_filter_docs(docs_ds, drops, drop_col=id_col,
+                            id_col=id_col, num_buckets=num_buckets)
