@@ -681,21 +681,44 @@ def q_hll_distinct(sf_dir: str):
 
 @q("q_sample")
 def q_sample(sf_dir: str):
-    """O4 sampling, now through the deterministic curation operators
-    (stages/sampling.py): domain counting (per-batch partials) ->
-    mix_fractions (scarcest domain binds at 1.0) -> stratified
-    hash-threshold sample. The keep decision is a pure function of
-    (doc_id, seed) — identical on any block layout, cluster size or
-    retry, unlike Ray's random_sample. Rows-only: DuckDB cannot
-    replicate the 64-bit seed-stable hash; layout independence,
-    nested-fraction subset semantics and the mixture math are
-    pytest-asserted (tests/test_sampling.py)."""
+    """O4 sampling + URL/domain curation in one graded chain (merged
+    for the driver's 50-row budget): synthesize a deterministic url
+    per doc (every 7th lands on a blocklisted host), then C4-style
+    blocklist filter (subdomain suffix matching) -> per-domain cap
+    (keep the ``cap`` smallest seed-stable id-hash uniforms per hot
+    domain — a deterministic random sample of each domain) ->
+    deterministic domain mixing (stages/sampling.py: per-batch domain
+    counting, mix_fractions with the scarcest domain binding at 1.0,
+    stratified hash-threshold sample). Every keep decision is a pure
+    function of (doc_id, seed) — identical on any block layout,
+    cluster size or retry, unlike Ray's random_sample. Rows-only:
+    DuckDB cannot replicate the 64-bit seed-stable hash; the
+    SQL-replicable order="id" cap variant is DuckDB-equivalence-tested
+    in tests/test_urlfilter.py, layout independence and the mixture
+    math in tests/test_sampling.py."""
     from ner_ray.stages.sampling import downsample_to_mix
+    from ner_ray.stages.urlfilter import cap_per_domain, filter_blocklist
 
-    docs = _rp(sf_dir, "documents", ["doc_id", "source"])
+    def with_url(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = t.column("source").to_pandas().fillna("none")
+        host = np.where(ids % 7 == 0, "spam.example.org",
+                        src + ".example.com")
+        urls = pd.Series(host) + "/p/" + pd.Series(ids).astype(str)
+        return t.append_column(
+            "url", pa.array("http://" + urls, pa.string()))
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(with_url, batch_format="pyarrow")
+    kept = filter_blocklist(docs, ["example.org"])
+    from ner_ray.stages.urlfilter import add_domain_column
+
+    # ~21 docs/domain survive the blocklist at every sf; cap=15 binds
+    # on every domain so the cap leg genuinely drops rows
+    capped = cap_per_domain(add_domain_column(kept), cap=15)
     sampled, _fracs = downsample_to_mix(
-        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
-    return sampled
+        capped, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return sampled.drop_columns(["url", "domain"])
 
 
 # ------------------------------------------------------- multimodal
