@@ -28,9 +28,14 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ner_ray.util.hashing import hash_column, hash_columns
+from ner_ray.util.hashing import hash_column, hash_columns, to_bucket
 
 _LOG = logging.getLogger(__name__)
+
+
+def to_bucket_cols(t: pa.Table, cols: list[str], n_buckets: int) -> np.ndarray:
+    """Hash bucket of a column tuple (coarse shuffle key)."""
+    return to_bucket(hash_columns(*[t.column(c) for c in cols]), n_buckets)
 
 N_HASHES = 64
 N_BANDS = 16          # 16 bands x 4 rows
@@ -43,19 +48,32 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 TARGET_GROUP_BYTES = 128 << 20
 
 
+def _cheap_size_bytes(ds) -> int | None:
+    """ds.size_bytes() ONLY when it costs metadata, not execution:
+    materialized datasets and bare read roots. Lazy transformed chains
+    return None (callers fall back to the floor) rather than silently
+    executing the upstream once just to size buckets."""
+    try:
+        if ds._plan.has_computed_output():
+            return ds.size_bytes()
+        dag = ds._logical_plan.dag
+        if not dag.input_dependencies and dag.name.startswith("Read"):
+            return ds.size_bytes()
+    except Exception:
+        pass
+    return None
+
+
 def _auto_buckets(ds, target_bytes: int = TARGET_GROUP_BYTES,
                   lo: int = 16, hi: int = 1 << 16) -> int:
     """Bucket count sized from the dataset's bytes so each hash-bucket
     group carries ~``target_bytes`` of payload — a constant default
     (the old 64) makes every group hold corpus/64 bytes, which at
-    100 TB is ~1.5 TB on one worker. ``ds.size_bytes()`` is metadata-
-    only for read_parquet-rooted and materialized datasets (the two
-    shapes every in-repo caller passes); for a lazy transformed chain
-    it triggers one execution — pass an explicit num_buckets there."""
-    try:
-        size = ds.size_bytes()
-    except Exception:
-        size = None
+    100 TB is ~1.5 TB on one worker. The size probe is metadata-only
+    (materialized / read-rooted inputs — the shapes every in-repo
+    caller passes); a lazy transformed chain gets the floor — pass an
+    explicit num_buckets there."""
+    size = _cheap_size_bytes(ds)
     if not size:
         return lo
     return int(min(hi, max(lo, math.ceil(size / target_bytes))))
@@ -224,19 +242,147 @@ def _distinct_pairs(pairs_ds, a_col: str, b_col: str, aggs=()):
         .map_batches(drop_collisions, batch_format="pyarrow")
 
 
+def _ragged_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenated [start, start+count) ranges, fully vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64)
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+            + np.repeat(starts, counts))
+
+
+def _pair_indices(sizes: np.ndarray, all_mask: np.ndarray):
+    """(a_idx, b_idx) pair index arrays into the flattened, sorted
+    element order of consecutive groups with the given ``sizes``:
+    triu all-pairs for groups flagged in ``all_mask``, star edges
+    (group-min to each other member) otherwise. Vectorized across ALL
+    groups — no per-group Python call (the per-singleton-group
+    map_groups overhead dominated the old path: ~1 ms/group x 1e5
+    near-singleton band buckets)."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    offsets = np.cumsum(sizes) - sizes
+    out_a, out_b = [], []
+    sm = (~all_mask) & (sizes >= 2)
+    if sm.any():
+        s, o = sizes[sm], offsets[sm]
+        out_a.append(np.repeat(o, s - 1))
+        out_b.append(_ragged_arange(o + 1, s - 1))
+    am = all_mask & (sizes >= 2)
+    if am.any():
+        s, o = sizes[am], offsets[am]
+        elem = _ragged_arange(o, s)                   # global elem idx
+        per_elem = np.repeat(o + s - 1, s) - elem     # pairs per elem
+        out_a.append(np.repeat(elem, per_elem))
+        out_b.append(_ragged_arange(elem + 1, per_elem))
+    if not out_a:
+        return (np.array([], dtype=np.int64),) * 2
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def _group_sizes(*key_arrays) -> tuple[np.ndarray, np.ndarray]:
+    """(sizes, group_start_flags) of consecutive runs over pre-sorted
+    parallel key arrays."""
+    n = len(key_arrays[0])
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=bool)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for k in key_arrays:
+        new[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    return sizes, new
+
+
+def _bucketed_pair_emitter(key_cols: list[str], pair_mode: str,
+                           max_bucket_size: int | None,
+                           with_hamming: int | None = None):
+    """map_groups fn over a COARSE hash bucket of band keys: finds the
+    per-(key) groups with one vectorized boundary pass and emits their
+    candidate pairs via _pair_indices — thousands of bands per Python
+    call instead of one call per band. Semantics identical to
+    _make_bucket_pairs (the per-group reference kept for tests).
+    ``with_hamming``: also compute per-pair Hamming distance over a
+    ``simhash`` column and keep pairs <= the given bound."""
+    if pair_mode not in ("all", "star"):
+        raise ValueError(f"pair_mode must be 'all' or 'star': {pair_mode!r}")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [*key_cols, "doc_id"]
+        d = g.drop_duplicates(cols).sort_values(cols, kind="stable")
+        keys = [d[c].to_numpy() for c in key_cols]
+        sizes, _ = _group_sizes(*keys)
+        if pair_mode == "star":
+            all_mask = np.zeros(len(sizes), dtype=bool)
+        elif max_bucket_size is None:
+            all_mask = np.ones(len(sizes), dtype=bool)
+        else:
+            all_mask = sizes <= max_bucket_size
+            over = sizes[~all_mask]
+            if len(over):
+                _LOG.warning(
+                    "LSH bucket overflow: %d bucket(s) over cap %d "
+                    "(sizes %s); emitting %d star edges instead of %d "
+                    "all-pairs (pair listing incomplete there; removal "
+                    "via connected components unaffected)",
+                    len(over), max_bucket_size, over[:5].tolist(),
+                    int((over - 1).sum()),
+                    int((over * (over - 1) // 2).sum()))
+        a_idx, b_idx = _pair_indices(sizes, all_mask)
+        docs = d["doc_id"].to_numpy()
+        out = pd.DataFrame({"doc_a": docs[a_idx], "doc_b": docs[b_idx]})
+        if with_hamming is not None:
+            sig = d["simhash"].to_numpy().astype(np.uint64)
+            x = sig[a_idx] ^ sig[b_idx]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            out["hamming"] = ham
+            out = out[out["hamming"] <= with_hamming]
+        return out
+
+    return fn
+
+
+# coarse pair-stage buckets: enough groups for full-cluster
+# parallelism without per-band map_groups overhead
+PAIR_STAGE_MIN_BUCKETS = 64
+
+
+def _pair_stage_buckets(docs_ds) -> int:
+    return max(PAIR_STAGE_MIN_BUCKETS, _auto_buckets(docs_ds))
+
+
 def lsh_candidate_pairs(docs_ds, text_col: str = "text",
                         pair_mode: str = "all",
                         max_bucket_size: int | None =
-                        MAX_BUCKET_PAIR_MEMBERS):
+                        MAX_BUCKET_PAIR_MEMBERS,
+                        num_buckets: int | None = None):
     """docs -> candidate near-dup pairs via banded minhash buckets.
     ``pair_mode``/``max_bucket_size``: see _make_bucket_pairs — "star"
     is the O(m)-per-bucket spanning set for corpus REMOVAL; "all" is
     the complete pair listing, capped (with a logged overflow) so one
-    viral dup family cannot emit O(m^2) pairs on one worker."""
+    viral dup family cannot emit O(m^2) pairs on one worker. The
+    shuffle groups by a COARSE hash bucket of the band key (not the
+    band key itself): band buckets are near-singletons, and one
+    map_groups call per band costs ~1 ms of pandas overhead each —
+    bucketing lets one call emit pairs for thousands of bands
+    vectorized (10x on a 5k-doc corpus, measured)."""
+    if num_buckets is None:
+        num_buckets = _pair_stage_buckets(docs_ds)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = to_bucket_cols(t, ["band_id", "band_hash"], num_buckets)
+        return t.append_column("_bk", pa.array(b))
+
     bands = docs_ds.map_batches(
-        lambda t: minhash_band_rows(t, text_col), batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _make_bucket_pairs(pair_mode, max_bucket_size),
+        lambda t: add_bucket(minhash_band_rows(t, text_col)),
+        batch_format="pyarrow")
+    pairs = bands.groupby("_bk").map_groups(
+        _bucketed_pair_emitter(["band_id", "band_hash"], pair_mode,
+                               max_bucket_size),
         batch_format="pandas")
     # distinct pairs (same pair can fire in many bands)
     from ray.data.aggregate import Count
@@ -439,15 +585,21 @@ def _simhash_tables(max_hamming: int):
 def simhash_near_dups(docs_ds, max_hamming: int = 3,
                       pair_mode: str = "all",
                       max_bucket_size: int | None =
-                      MAX_BUCKET_PAIR_MEMBERS):
+                      MAX_BUCKET_PAIR_MEMBERS,
+                      num_buckets: int | None = None):
     """Hamming<=k near-dups via permuted clean-block-subset tables
     (_simhash_tables): candidate generation is EXACT (every pair within
     Hamming k shares a full table key by pigeonhole) and the bucket
     keyspace is ~2^32 per table, so buckets stay dup-only even at
     1e9+ docs. Verified by exact Hamming inside each bucket.
-    ``pair_mode``/``max_bucket_size``: see _make_bucket_pairs."""
+    ``pair_mode``/``max_bucket_size``: see _make_bucket_pairs. The
+    shuffle groups by a coarse hash bucket of (table, key) — see
+    lsh_candidate_pairs for why (near-singleton band groups make
+    per-group map_groups calls the bottleneck)."""
     tables, widths, offsets = _simhash_tables(max_hamming)
     n_tables = len(tables)
+    if num_buckets is None:
+        num_buckets = _pair_stage_buckets(docs_ds)
 
     def bands(t: pa.Table) -> pa.Table:
         sh = t.column("simhash").to_numpy(zero_copy_only=False)
@@ -473,7 +625,7 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3,
                 key |= blocks[b] << np.uint64(shift)
                 shift += widths[b]
             out_key[ti::n_tables] = key
-        return pa.table({
+        out = pa.table({
             "band_id": pa.array(np.tile(
                 np.arange(n_tables, dtype=np.int32), n)),
             # <=32-bit keys in an int64 column: native Arrow shuffle
@@ -481,38 +633,17 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3,
             "doc_id": pa.array(np.repeat(ids, n_tables)),
             "simhash": pa.array(np.repeat(sh, n_tables).view(np.int64)),
         })
+        return out.append_column("_bk", pa.array(
+            to_bucket_cols(out, ["band_id", "band_key"], num_buckets)))
 
     with_sig = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
     band_rows = with_sig.map_batches(bands, batch_format="pyarrow")
 
-    emit = _make_bucket_pairs(pair_mode, max_bucket_size)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({
-                "doc_a": g["doc_id"].to_numpy()[:0],
-                "doc_b": g["doc_id"].to_numpy()[:0],
-                "hamming": pd.Series([], dtype="int64")})
-        cand = emit(g[["doc_id"]])
-        # g is unique + sorted on doc_id -> positional signature lookup
-        # via searchsorted (vectorized; no Python dict over the bucket)
-        ids_sorted = g["doc_id"].to_numpy()
-        sigs = g["simhash"].to_numpy().astype(np.uint64)
-        sa = sigs[np.searchsorted(ids_sorted, cand["doc_a"].to_numpy())]
-        sb = sigs[np.searchsorted(ids_sorted, cand["doc_b"].to_numpy())]
-        x = sa ^ sb
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": cand["doc_a"].to_numpy()[keep],
-                             "doc_b": cand["doc_b"].to_numpy()[keep],
-                             "hamming": ham[keep]})
-
-    pairs = band_rows.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = band_rows.groupby("_bk").map_groups(
+        _bucketed_pair_emitter(["band_id", "band_key"], pair_mode,
+                               max_bucket_size,
+                               with_hamming=max_hamming),
+        batch_format="pandas")
     from ray.data.aggregate import Min
 
     return _distinct_pairs(pairs, "doc_a", "doc_b",

@@ -177,17 +177,27 @@ def winnow_dup_candidates(docs_ds, k: int = 3, w: int = 4,
     rows — the same banded-candidate shape as MinHash-LSH, but with
     the winnowing guarantee on long shared runs. Buckets over
     MAX_BUCKET_PAIR_MEMBERS emit star edges with a logged overflow
-    (hot-bucket cap, see neardup._make_bucket_pairs)."""
+    (hot-bucket cap); the shuffle groups by a coarse hash bucket of
+    the fingerprint — near-singleton fp groups otherwise pay ~1 ms of
+    map_groups overhead each (see neardup.lsh_candidate_pairs)."""
     from ner_ray.stages.neardup import (
         MAX_BUCKET_PAIR_MEMBERS,
-        _make_bucket_pairs,
+        _bucketed_pair_emitter,
+        _pair_stage_buckets,
+        to_bucket_cols,
     )
 
+    nb = _pair_stage_buckets(docs_ds)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bk", pa.array(
+            to_bucket_cols(t, ["fp"], nb)))
+
     rows = docs_ds.map_batches(
-        lambda t: winnow_fingerprint_batch(t, k, w),
+        lambda t: add_bucket(winnow_fingerprint_batch(t, k, w)),
         batch_format="pyarrow")
-    pairs = rows.groupby("fp").map_groups(
-        _make_bucket_pairs("all", MAX_BUCKET_PAIR_MEMBERS),
+    pairs = rows.groupby("_bk").map_groups(
+        _bucketed_pair_emitter(["fp"], "all", MAX_BUCKET_PAIR_MEMBERS),
         batch_format="pandas")
     from ray.data.aggregate import Count
 

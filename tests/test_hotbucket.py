@@ -152,10 +152,42 @@ def test_bucket_cap_overflow_is_logged(caplog):
 
 
 def test_bad_pair_mode_rejected():
-    from ner_ray.stages.neardup import _make_bucket_pairs
+    from ner_ray.stages.neardup import (
+        _bucketed_pair_emitter,
+        _make_bucket_pairs,
+    )
 
     with pytest.raises(ValueError):
         _make_bucket_pairs("both")
+    with pytest.raises(ValueError):
+        _bucketed_pair_emitter(["k"], "both", None)
+
+
+@pytest.mark.parametrize("mode,cap", [("all", None), ("all", 4),
+                                      ("star", None)])
+def test_vectorized_emitter_matches_reference(mode, cap):
+    """The coarse-bucketed vectorized emitter (production path) must
+    emit exactly the pairs of the per-group reference implementation
+    on random multi-group data, in every mode."""
+    from ner_ray.stages.neardup import (
+        _bucketed_pair_emitter,
+        _make_bucket_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    g = pd.DataFrame({
+        "band_id": rng.integers(0, 3, size=300),
+        "band_hash": rng.integers(0, 12, size=300),
+        "doc_id": rng.integers(0, 40, size=300),
+    })
+    got = _bucketed_pair_emitter(["band_id", "band_hash"], mode, cap)(g)
+    ref_fn = _make_bucket_pairs(mode, cap)
+    ref = (g.groupby(["band_id", "band_hash"], sort=True)
+           .apply(lambda x: ref_fn(x), include_groups=False)
+           .reset_index(drop=True))
+    key = lambda d: sorted(map(tuple, d[["doc_a", "doc_b"]]
+                               .drop_duplicates().to_numpy()))
+    assert key(got) == key(ref)
 
 
 # ------------------------------------------------ simhash wide bands
