@@ -198,7 +198,8 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
                          id_col: str = "vec_id",
                          emb_col: str = "embedding", seed: int = 42,
                          n_bands: int = DUP_BANDS,
-                         planes_per_band: int = DUP_PLANES_PER_BAND):
+                         planes_per_band: int = DUP_PLANES_PER_BAND,
+                         max_bucket_size: int | None = None):
     """Bucketed near-dup pairs: random-hyperplane banding (the SimHash
     pair pattern from neardup.py applied to real vectors).
 
@@ -211,8 +212,20 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
     Recall for a pair at cosine s is 1-(1-p^r)^B with
     p = 1 - arccos(s)/pi; with the default 16x8 geometry that is
     ~0.996 at s=0.99, ~0.91 at s=0.9 — a high-threshold tool by
-    design (use more bands for lower thresholds)."""
+    design (use more bands for lower thresholds).
+
+    ``max_bucket_size`` (default: neardup.MAX_BUCKET_PAIR_MEMBERS):
+    a viral-duplicate bucket above the cap falls back to star edges
+    against the bucket min id — O(m*d) instead of an O(m^2*d) in-
+    bucket matmul — with a logged overflow (no silent caps); star
+    edges keep duplicate families connected for removal while pair
+    LISTING in that bucket is incomplete."""
     from ray.data.aggregate import Max
+
+    from ner_ray.stages.neardup import MAX_BUCKET_PAIR_MEMBERS
+
+    if max_bucket_size is None:
+        max_bucket_size = MAX_BUCKET_PAIR_MEMBERS
 
     def planes_for_dim(d: int) -> np.ndarray:
         # stateless task form keeps banding at full task parallelism
@@ -252,6 +265,25 @@ def cosine_dup_pairs_lsh(embeddings_ds, threshold: float = 0.9,
                              "vec_b": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
         m = _normalize(_to_matrix(g.column(emb_col)))
+        if max_bucket_size is not None and len(ids) > max_bucket_size:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding LSH bucket overflow: %d members > cap %d; "
+                "emitting star edges (O(m*d)) instead of %d all-pairs "
+                "(listing incomplete there; removal connectivity kept)",
+                len(ids), max_bucket_size,
+                len(ids) * (len(ids) - 1) // 2)
+            order = np.argsort(ids, kind="stable")
+            ids, m = ids[order], m[order]
+            sims = m[1:] @ m[0]
+            keep = sims >= threshold
+            a = np.full(int(keep.sum()), ids[0], dtype=np.int64)
+            return pa.table({
+                "vec_a": pa.array(a),
+                "vec_b": pa.array(ids[1:][keep].astype(np.int64)),
+                "sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+            })
         sims = m @ m.T
         i, j = np.triu_indices(len(ids), k=1)
         keep = sims[i, j] >= threshold

@@ -253,6 +253,31 @@ def test_simhash_table_schedule_geometry():
     assert t0 == [(0,)] and w0 == [64]
 
 
+def test_embedding_lsh_bucket_cap_star_fallback(ray_session):
+    """A viral family of identical vectors over the cap must still
+    connect (star edges to the bucket min), never O(m^2) matmul."""
+    import ray.data as rd
+
+    from ner_ray.stages.similarity import cosine_dup_pairs_lsh
+
+    rng = np.random.default_rng(3)
+    fam = rng.standard_normal(16)
+    rows = [{"vec_id": i, "embedding": fam.tolist()} for i in range(8)]
+    rows += [{"vec_id": 100 + i,
+              "embedding": rng.standard_normal(16).tolist()}
+             for i in range(10)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    capped = cosine_dup_pairs_lsh(ds, threshold=0.95, max_bucket_size=4)
+    got = _pairs(capped.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "sim"]),
+        batch_format="pyarrow"))
+    assert got == [(0, i) for i in range(1, 8)]     # star of the family
+    full = cosine_dup_pairs_lsh(ds, threshold=0.95)
+    assert len(_pairs(full.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "sim"]),
+        batch_format="pyarrow"))) == 8 * 7 // 2
+
+
 # ------------------------------------------- auto-sized bucket counts
 
 
