@@ -259,6 +259,14 @@ def run_scaling() -> dict:
         "triples_per_sec_32": r_hi["triples_per_sec"],
         "sf": r_lo["sf"],
         "num_cpus": [lo, hi],
+        # host-contention context for each level (see BASELINE.md,
+        # 'Contention normalization'): external load inflates the
+        # 32-CPU level more than the 8-CPU one, so a low efficiency
+        # with degraded effective_cores_32 is a host artifact
+        "effective_cores_8": r_lo.get("effective_cores"),
+        "effective_cores_32": r_hi.get("effective_cores"),
+        "probes": {"8": [r_lo.get("probe_pre"), r_lo.get("probe_post")],
+                   "32": [r_hi.get("probe_pre"), r_hi.get("probe_post")]},
     }
 
 
