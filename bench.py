@@ -246,8 +246,14 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # min-of-k per level: the shared host's external load inflates a
+    # single sample by 2-4x (measured, BASELINE.md); the minimum over
+    # fresh sessions on identical input estimates uncontended capability
+    repeats = int(os.environ.get("NER_RAY_SCALING_REPEATS", "2"))
+    lo_runs = [run(lo) for _ in range(repeats)]
+    hi_runs = [run(hi) for _ in range(repeats)]
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -267,6 +273,9 @@ def run_scaling() -> dict:
         "effective_cores_32": r_hi.get("effective_cores"),
         "probes": {"8": [r_lo.get("probe_pre"), r_lo.get("probe_post")],
                    "32": [r_hi.get("probe_pre"), r_hi.get("probe_post")]},
+        "samples_8": [r["value"] for r in lo_runs],
+        "samples_32": [r["value"] for r in hi_runs],
+        "repeats": repeats,
     }
 
 

@@ -154,6 +154,14 @@ def cap_per_domain(ds, cap: int, domain_col: str = "domain",
         return t.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
 
+    from ner_ray.util.hashing import hash_column, to_bucket
+
+    # coarse domain-hash buckets for the global-top-cap pass: one
+    # map_groups call per DOMAIN would pay ~1 ms of dispatch per hot
+    # domain (there can be millions over cap at corpus scale); one
+    # call per bucket selects for thousands of domains vectorized
+    sel_buckets = 64
+
     def candidates(t: pa.Table) -> pa.Table:
         mask = pc.is_in(t.column(domain_col),
                         value_set=ray.get(over_ref))
@@ -166,15 +174,17 @@ def cap_per_domain(ds, cap: int, domain_col: str = "domain",
         pruned = df.sort_values([domain_col, "_k", id_col],
                                 kind="stable") \
             .groupby(domain_col, sort=False).head(cap)
+        pruned["_sb"] = to_bucket(hash_column(pruned[domain_col]),
+                                  sel_buckets)
         return pa.Table.from_pandas(pruned, preserve_index=False)
 
-    def keep_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["_k", id_col], kind="stable") \
-            .head(cap)[[id_col]]
+    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([domain_col, "_k", id_col], kind="stable")
+        return s.groupby(domain_col, sort=False).head(cap)[[id_col]]
 
     keeps = ds.map_batches(candidates, batch_format="pyarrow") \
-        .groupby(domain_col).map_groups(keep_group,
-                                        batch_format="pandas") \
+        .groupby("_sb").map_groups(keep_bucket,
+                                   batch_format="pandas") \
         .materialize()
 
     n_keeps = keeps.count()
