@@ -882,7 +882,8 @@ def exact_dedup_docs(docs_ds, text_col: str = "text",
                      id_col: str = "doc_id",
                      max_broadcast_drops: int = MAX_BROADCAST_DROPS,
                      num_buckets: int | None = None,
-                     materialize: bool = True):
+                     materialize: bool = True,
+                     scope_cols: tuple[str, ...] = ()):
     """Exact-duplicate REMOVAL keeping the min-id row per distinct
     text (the survivor-set counterpart of ``exact_dedup``, which
     returns the keyed summary). Only (content-hash, id) scalar pairs
@@ -891,7 +892,10 @@ def exact_dedup_docs(docs_ds, text_col: str = "text",
     corpus via the shared size dispatch. ``num_buckets=None``
     auto-sizes from corpus bytes; ``materialize=False`` is the re-read
     mode (corpus not pinned; the pair and anti passes re-execute the
-    upstream — see near_dedup_docs)."""
+    upstream — see near_dedup_docs). ``scope_cols`` narrows duplicate
+    identity to (scope, text) — e.g. ``("domain",)`` for the C4 move
+    of deduplicating within URL/domain scope only, so the same
+    boilerplate on two domains keeps one copy per domain."""
     from ner_ray.util.hashing import to_bucket
 
     if materialize:  # consumed by pair + anti passes
@@ -900,7 +904,8 @@ def exact_dedup_docs(docs_ds, text_col: str = "text",
         num_buckets = _auto_buckets(docs_ds)
 
     def pairs(t: pa.Table) -> pa.Table:
-        h = hash_column(t.column(text_col))
+        cols = [t.column(c) for c in (*scope_cols, text_col)]
+        h = hash_columns(*cols) if len(cols) > 1 else hash_column(cols[0])
         return pa.table({"h": pa.array(h.view(np.int64)),
                          id_col: t.column(id_col),
                          "_b": pa.array(to_bucket(h, num_buckets))})

@@ -128,3 +128,65 @@ def downsample_to_mix(ds, targets: dict, key_col: str = "source",
     fracs = mix_fractions(counts, targets)
     return stratified_sample(ds, fracs, key_col=key_col, id_col=id_col,
                              seed=seed), fracs
+
+
+def token_counts(ds, text_col: str = "text",
+                 key_col: str | None = None) -> dict:
+    """Whitespace-token totals, per ``key_col`` domain (or one
+    ``"__all__"`` total). Per-batch pre-aggregation: only (domain,
+    token-sum) partials reach the driver. Token convention matches
+    q_text_stats' n_tokens (len(str_split(text, ' ')), empty/null
+    text = 0)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column(text_col), "")
+        nw = pc.list_value_length(pc.split_pattern(txt, " "))
+        nonempty = pc.not_equal(pc.utf8_trim_whitespace(txt), "")
+        nw = pc.if_else(nonempty, nw, 0)
+        key = (t.column(key_col) if key_col is not None
+               else pa.array(["__all__"] * len(t)))
+        g = pa.table({"k": key, "n": pc.cast(nw, pa.int64())}) \
+            .group_by("k").aggregate([("n", "sum")])
+        return g.rename_columns(["k", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return {}
+    agg = parts.groupby("k")["n"].sum()
+    return {k: int(v) for k, v in agg.items()}
+
+
+def downsample_to_token_budget(ds, budget_tokens, text_col: str = "text",
+                               key_col: str | None = None,
+                               id_col: str = "doc_id", seed: int = 42):
+    """Downsample so the EXPECTED retained token count meets a budget
+    (the pre-training move: "at most B tokens from domain d"). Global
+    form: ``key_col=None`` + int budget. Per-domain form: ``key_col``
+    + ``{domain: budget}`` dict (domains absent from the dict keep
+    fraction 1.0). Keep fraction per domain = min(1, budget/total);
+    the keep decision is the same pure (id, seed) hash threshold as
+    every sampler here — layout/retry/cluster-size independent, and
+    the budget holds in expectation (per-doc length variance makes an
+    exact cut order-dependent, which would break determinism).
+    Returns (sampled_ds, fractions)."""
+    counts = token_counts(ds, text_col=text_col, key_col=key_col)
+    if key_col is None:
+        if not isinstance(budget_tokens, (int, float)) or budget_tokens < 0:
+            raise ValueError(f"global budget must be >= 0: {budget_tokens}")
+        total = counts.get("__all__", 0)
+        frac = 1.0 if total == 0 else min(1.0, budget_tokens / total)
+        return hash_sample(ds, frac, id_col=id_col, seed=seed), \
+            {"__all__": frac}
+    if not isinstance(budget_tokens, dict):
+        raise ValueError("per-domain form needs a {domain: budget} dict")
+    bad = {k: v for k, v in budget_tokens.items() if v < 0}
+    if bad:
+        raise ValueError(f"budgets must be >= 0: {bad}")
+    fracs = {}
+    for dom, total in counts.items():
+        b = budget_tokens.get(dom)
+        fracs[dom] = (1.0 if b is None or total == 0
+                      else min(1.0, b / total))
+    return stratified_sample(ds, fracs, key_col=key_col, id_col=id_col,
+                             seed=seed, default_fraction=1.0), fracs
