@@ -370,23 +370,30 @@ def q_text_stats(sf_dir: str):
 @q("q_doc_signals")
 def q_doc_signals(sf_dir: str):
     """Fused language-ID + document fingerprint + seed-stable
-    multi-column row hash (rows-only: the stopword-profile heuristic
-    and our 64-bit hashes are engine-specific — DuckDB's hash() is a
-    different function; cross-process self-consistency is asserted in
-    tests/test_hashing.py; merged for the driver's 50-row correctness
-    budget — the row-hash column absorbs the old q_hash_stability
-    entry)."""
+    multi-column row hash + corpus-trained unigram-LM quality score
+    (rows-only: the stopword-profile heuristic and our 64-bit hashes
+    are engine-specific — DuckDB's hash() is a different function;
+    the LM score's mean -log p IS DuckDB-replicable and is
+    equivalence-tested in tests/test_lmscore.py; cross-process hash
+    self-consistency in tests/test_hashing.py; merged for the driver's
+    50-row correctness budget)."""
+    from ner_ray.stages.lmscore import score_docs, train_unigram
     from ner_ray.stages.textstats import DocSignalsStage
     from ner_ray.util.hashing import hash_columns
 
     class SignalsWithRowHash(DocSignalsStage):
         def __call__(self, batch: pa.Table) -> pa.Table:
+            # the base stage rebuilds its table from (doc_id, text);
+            # carry the upstream lm_score column through explicitly
             out = super().__call__(batch)
+            out = out.append_column("lm_score", batch.column("lm_score"))
             h = hash_columns(batch.column("doc_id"), batch.column("text"))
             return out.append_column(
                 "row_hash", pa.array([f"{x:016x}" for x in h], pa.string()))
 
-    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    model = train_unigram(docs)
+    return score_docs(docs, model).map_batches(
         SignalsWithRowHash, batch_format="pyarrow", concurrency=(1, 4),
         num_cpus=1)
 
