@@ -98,6 +98,59 @@ def decontaminate(docs_ds, eval_ds=None, n: int = 13,
 
     # bucketed exact path: corpus (hash, id) pairs + eval hashes
     # co-shuffle by hash bucket; contaminated ids fall out per bucket
+    return _decontaminate_bucketed(docs_ds, eval_hashes, n, text_col,
+                                   id_col, num_buckets)
+
+
+def contamination_report(docs_ds, eval_ds=None, n: int = 13,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         eval_text_col: str | None = None,
+                         eval_hashes: np.ndarray | None = None):
+    """The audit view of ``decontaminate``: one row per CONTAMINATED
+    doc with the number of distinct eval n-grams it shares
+    (``n_shared``) and its own distinct n-gram count (``n_ngrams``) —
+    what you inspect before deciding to drop. Broadcast map-only; same
+    hash contract as decontaminate."""
+    import ray
+
+    if eval_hashes is None:
+        if eval_ds is None:
+            raise ValueError(
+                "contamination_report needs eval_ds or eval_hashes")
+        eval_hashes = eval_ngram_hashes(
+            eval_ds, text_col=eval_text_col or text_col, n=n)
+    hs = np.sort(np.asarray(eval_hashes, dtype=np.uint64))
+    ref = ray.put(hs)
+
+    def report(t: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        row, h = _batch_ngram_hashes(t.column(text_col), n)
+        # distinct (row, hash) so repeated n-grams inside one doc
+        # count once, matching COUNT(DISTINCT g) semantics
+        if len(h):
+            rh = np.unique(
+                np.stack([row.astype(np.uint64), h], axis=1), axis=0)
+            row, h = rh[:, 0].astype(np.int64), rh[:, 1]
+        hit = np.zeros(len(h), dtype=bool)
+        if len(ev) and len(h):
+            idx = np.searchsorted(ev, h)
+            idx_c = np.minimum(idx, len(ev) - 1)
+            hit = (idx < len(ev)) & (ev[idx_c] == h)
+        n_shared = np.bincount(row, weights=hit, minlength=len(t)) \
+            .astype(np.int64)
+        n_grams = np.bincount(row, minlength=len(t)).astype(np.int64)
+        keep = n_shared > 0
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(keep)),
+            "n_shared": pa.array(n_shared[keep]),
+            "n_ngrams": pa.array(n_grams[keep]),
+        })
+
+    return docs_ds.map_batches(report, batch_format="pyarrow")
+
+
+def _decontaminate_bucketed(docs_ds, eval_hashes, n, text_col, id_col,
+                            num_buckets):
     if num_buckets is None:
         from ner_ray.stages.neardup import _auto_buckets
 

@@ -131,6 +131,25 @@ def test_clean_corpus_reread_mode_identical(ray_session, eval_ds):
     assert _ids(pinned) == _ids(reread) == [1, 2, 4]
 
 
+def test_contamination_report(ray_session, corpus_ds, eval_ds):
+    from ner_ray.stages.decontam import contamination_report
+
+    rep = contamination_report(corpus_ds, eval_ds, n=13).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert rep["doc_id"].tolist() == [0, 3]
+    by = dict(zip(rep["doc_id"], rep["n_shared"]))
+    # doc 0 lifts words 2..14 -> exactly one shared 13-gram; doc 3 is
+    # the verbatim eval text -> all 8 of its 13-grams are shared
+    assert by[0] == 1 and by[3] == len(_EVW) - 12
+    n_grams = dict(zip(rep["doc_id"], rep["n_ngrams"]))
+    assert n_grams[3] == len(_EVW) - 12
+    # report ids == exactly what decontaminate drops
+    from ner_ray.stages.decontam import decontaminate
+
+    kept = set(_ids(decontaminate(corpus_ds, eval_ds, n=13)))
+    assert set(rep["doc_id"]) == {0, 1, 2, 3, 4} - kept
+
+
 # ------------------------------------------------- kill/rerun resume
 
 
