@@ -194,12 +194,61 @@ def q_resolved(_sf_dir: str):
 
 
 @q("q_adjacency_degree", sql=f"""
-SELECT subj AS src, CAST(count(*) AS BIGINT) AS degree
-FROM read_parquet('{_SMALL}/gold_resolved.parquet')
-GROUP BY subj
+WITH res AS (SELECT subj, obj
+             FROM read_parquet('{_SMALL}/gold_resolved.parquet')),
+deg AS (SELECT subj AS src, CAST(count(*) AS BIGINT) AS degree
+        FROM res GROUP BY subj),
+und AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+        FROM res WHERE subj <> obj),
+nb AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tri_n AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_count FROM (
+          SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) GROUP BY node),
+two_n AS (SELECT u AS node,
+                 CAST(count(DISTINCT w) AS BIGINT) AS two_hop_count
+          FROM (SELECT n1.u AS u, n2.v AS w FROM nb n1
+                JOIN nb n2 ON n2.u = n1.v WHERE n2.v <> n1.u
+                UNION SELECT u, v FROM nb) GROUP BY u)
+SELECT deg.src, deg.degree,
+       COALESCE(tri_n.tri_count, 0) AS tri_count,
+       COALESCE(two_n.two_hop_count, 0) AS two_hop_count
+FROM deg LEFT JOIN tri_n ON tri_n.node = deg.src
+LEFT JOIN two_n ON two_n.node = deg.src
 """)
 def q_adjacency_degree(_sf_dir: str):
-    return _small_pipeline()["adjacency"].select_columns(["src", "degree"])
+    """Q5 + graph analytics: per-source degree from the adjacency
+    build, plus triangle and 2-hop-reach counts over the undirected
+    distinct-pair entity graph (ner_ray/stages/graphops.py) — exact
+    integers, value-matched against an independent DuckDB recompute."""
+    from ner_ray.stages.graphops import (
+        grouped_join,
+        triangle_counts,
+        two_hop_counts,
+        undirected_edges,
+    )
+
+    p = _small_pipeline()
+    adj = p["adjacency"].select_columns(["src", "degree"])
+    und = undirected_edges(p["resolved"]).materialize()
+    tri = triangle_counts(und)
+    two = two_hop_counts(und)
+    ty = {"src": pa.string(), "degree": pa.int64(), "node": pa.string(),
+          "tri_count": pa.int64(), "two_hop_count": pa.int64()}
+    out = grouped_join(adj, tri, "src", "node", ["src", "degree"],
+                       ["node", "tri_count"], ty, how="left outer")
+    out = grouped_join(out, two, "src", "node",
+                       ["src", "degree", "tri_count"],
+                       ["node", "two_hop_count"], ty, how="left outer")
+    return out.map_batches(
+        lambda t: pa.table({
+            "src": t.column("src"),
+            "degree": t.column("degree"),
+            "tri_count": pc.fill_null(t.column("tri_count"), 0),
+            "two_hop_count": pc.fill_null(t.column("two_hop_count"), 0),
+        }), batch_format="pyarrow")
 
 
 @q("q_topk_entities", sql=f"""

@@ -1,0 +1,449 @@
+"""Graph analytics over the resolved triple store (Q5 extensions):
+undirected distinct-pair edges, per-node triangle counts, 2-hop
+neighborhood sizes, and iterative PageRank.
+
+The north rule's KG build ends at adjacency lists; the first things a
+KG consumer computes on top are exactly these: local clustering
+evidence (triangles), neighborhood reach (k-hop counts), and entity
+importance (PageRank).
+
+Scale design
+------------
+- Every shuffle payload is id scalars (strings / fused int64 hash
+  keys) — never edge lists or text.
+- All joins here are GROUPED joins (bucket both sides by key hash,
+  one Arrow-native join per bucket group): multiple Dataset.join
+  operators in one streaming DAG can deadlock the executor when join
+  aggregators exhaust the CPU budget (see SCALE.md "Join-DAG
+  scheduling hazard"), and triangle counting needs three joins.
+  Grouped joins are plain groupby shuffles — arbitrarily many compose
+  in one DAG.
+- Triangle counting uses degree-ordered edge orientation (Schank &
+  Wagner 2005, "Finding, Counting and Listing All Triangles in Large
+  Graphs"): each undirected edge points from its lower-(degree, id)
+  endpoint to the higher, so oriented out-degree is O(sqrt(m)) and
+  total wedge work is O(m^1.5) — the bound that survives power-law
+  hubs (a hub's edges are oriented INTO it, so it emits no wedges).
+  Wedges close against the oriented edge set with one fused-key
+  grouped join + post-join string-equality filter (the
+  _distinct_pairs collision contract: a 64-bit collision drops a
+  candidate, never fabricates one).
+- Wedge emission is bucketed + vectorized: oriented edges shuffle
+  once by hash(src) bucket and each bucket group emits ALL its wedge
+  pairs with one _pair_indices call — no per-src Python.
+- 2-hop counts self-join the symmetric neighbor table on the middle
+  node: inherently O(sum deg^2) candidate rows before dedup, so hubs
+  dominate. ``max_mid_degree`` skips middle nodes over the cap with a
+  LOGGED overflow count (no-silent-caps); the hub set is collected to
+  the driver — by definition it is the tail of the degree
+  distribution (a handful of nodes even at web scale). Default None =
+  exact.
+- PageRank keeps the edge set as the large pinned dataset and the
+  rank vector as a small (node, out_deg, rank) dataset re-derived per
+  iteration: one grouped join (edges x ranks on src) + one
+  groupby(dst) Sum per iteration; the left-outer "nodes without
+  inbound mass" case is a union + groupby(node) merge, not a join;
+  dangling mass is a driver scalar. Bulk-synchronous, one scalar-pair
+  shuffle per iteration.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ner_ray.stages.neardup import (
+    _auto_buckets,
+    _distinct_pairs,
+    _pair_indices,
+)
+from ner_ray.util.hashing import hash_column, hash_columns, to_bucket
+
+logger = logging.getLogger(__name__)
+
+_S, _I, _F = pa.string(), pa.int64(), pa.float64()
+
+_EMPTY_COUNTS = pa.schema([("node", pa.string()), ("n", pa.int64())])
+
+
+# --------------------------------------------------------- grouped join
+
+
+def grouped_join(left, right, left_on: str, right_on: str,
+                 left_cols: list[str], right_cols: list[str],
+                 types: dict[str, pa.DataType],
+                 num_buckets: int = 32, how: str = "inner"):
+    """Bucket-partitioned join with NO Dataset.join operator: tag
+    side, bucket by key hash, union, groupby(bucket), one
+    ``pyarrow.Table.join`` per group. Composes freely in one streaming
+    DAG (a groupby is just a shuffle). Explicit ``left_cols`` /
+    ``right_cols`` make the group callable immune to the union's
+    null-padded schema promotion; ``types`` (column -> Arrow type)
+    reconstructs a typed empty side when a bucket group received rows
+    from only one side (schema() on a lazy chain would force an early
+    shuffle — static types are free). Non-key output columns must be
+    disjoint across sides; Arrow types are preserved end to end (no
+    pandas NaN/float coercion)."""
+
+    def tag(side: int, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(left_cols if side == 0 else right_cols)
+            b = to_bucket(hash_column(t.column(key)), num_buckets)
+            t = t.append_column("_bkt", pa.array(b))
+            return t.append_column(
+                "_side", pa.array(np.full(len(t), side, np.int8)))
+
+        return fn
+
+    both = left.map_batches(tag(0, left_on), batch_format="pyarrow") \
+        .union(right.map_batches(tag(1, right_on), batch_format="pyarrow"))
+
+    def side_table(g: pa.Table, mask, cols: list[str]) -> pa.Table:
+        if all(c in g.column_names for c in cols):
+            return g.filter(mask).select(cols)
+        # this side sent no rows to the group: typed empty table
+        return pa.schema(
+            [(c, g.schema.field(c).type if c in g.column_names
+              else types[c]) for c in cols]).empty_table()
+
+    def join_group(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g.column("_side"), 0)
+        lg = side_table(g, lmask, left_cols)
+        rg = side_table(g, pc.invert(lmask), right_cols)
+        return lg.join(rg, keys=[left_on], right_keys=[right_on],
+                       join_type=how)
+
+    return both.groupby("_bkt").map_groups(join_group,
+                                           batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- edges
+
+
+def undirected_edges(ds, src_col: str = "subj", dst_col: str = "obj"):
+    """Directed (src, dst) rows -> distinct undirected node pairs
+    (a < b lexicographically; self-loops dropped)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a, b = t.column(src_col), t.column(dst_col)
+        lt = pc.less(a, b)
+        out = pa.table({"a": pc.if_else(lt, a, b), "b": pc.if_else(lt, b, a)})
+        return out.filter(pc.not_equal(out.column("a"), out.column("b")))
+
+    return _distinct_pairs(ds.map_batches(canon, batch_format="pyarrow"),
+                           "a", "b")
+
+
+def directed_edges(ds, src_col: str = "subj", dst_col: str = "obj"):
+    """Distinct directed (src, dst) pairs, self-loops dropped."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        out = pa.table({"src": t.column(src_col), "dst": t.column(dst_col)})
+        return out.filter(
+            pc.not_equal(out.column("src"), out.column("dst")))
+
+    return _distinct_pairs(ds.map_batches(canon, batch_format="pyarrow"),
+                           "src", "dst")
+
+
+def _partial_counts(t: pa.Table, col: str) -> pa.Table:
+    """Map-side combiner: per-batch counts, shuffling only (key, n)."""
+    if len(t) == 0:
+        return _EMPTY_COUNTS.empty_table()
+    g = t.select([col]).group_by([col]).aggregate([([], "count_all")])
+    return g.rename_columns(["node", "n"])
+
+
+def node_degrees(edges_ds):
+    """Undirected (a, b) pairs -> (node, degree). Partial per-batch
+    counts shuffle, not edges."""
+    from ray.data.aggregate import Sum
+
+    def both(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([t.column("a").combine_chunks(),
+                                  t.column("b").combine_chunks()])
+        return _partial_counts(pa.table({"node": nodes}), "node")
+
+    return edges_ds.map_batches(both, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("n", alias_name="degree"))
+
+
+# ----------------------------------------------------------- triangles
+
+
+def _oriented_edges(edges_ds, degrees_ds, num_buckets: int):
+    """Undirected (a, b) + (node, degree) -> (src, dst, dst_deg) with
+    rank(src) < rank(dst) where rank = (degree, node)."""
+    deg_a = degrees_ds.map_batches(
+        lambda t: t.rename_columns(["a", "deg_a"]), batch_format="pyarrow")
+    deg_b = degrees_ds.map_batches(
+        lambda t: t.rename_columns(["b", "deg_b"]), batch_format="pyarrow")
+    ty = {"a": _S, "b": _S, "deg_a": _I, "deg_b": _I}
+    e = grouped_join(edges_ds, deg_a, "a", "a", ["a", "b"],
+                     ["a", "deg_a"], ty, num_buckets=num_buckets)
+    e = grouped_join(e, deg_b, "b", "b", ["a", "b", "deg_a"],
+                     ["b", "deg_b"], ty, num_buckets=num_buckets)
+
+    def orient(t: pa.Table) -> pa.Table:
+        da, db = t.column("deg_a"), t.column("deg_b")
+        a, b = t.column("a"), t.column("b")
+        a_first = pc.or_(pc.less(da, db),
+                         pc.and_(pc.equal(da, db), pc.less(a, b)))
+        return pa.table({
+            "src": pc.if_else(a_first, a, b),
+            "dst": pc.if_else(a_first, b, a),
+            "dst_deg": pc.if_else(a_first, db, da),
+        })
+
+    return e.map_batches(orient, batch_format="pyarrow")
+
+
+def _wedges_in_bucket(t: pa.Table) -> pa.Table:
+    """All (u, v, w) wedges of one src-hash bucket, vectorized: sort
+    by (src, rank(dst)), run-length the src column, one _pair_indices
+    call for every src group at once."""
+    empty = pa.schema([("u", pa.string()), ("v", pa.string()),
+                       ("w", pa.string())])
+    if len(t) == 0:
+        return empty.empty_table()
+    idx = pc.sort_indices(t, sort_keys=[
+        ("src", "ascending"), ("dst_deg", "ascending"),
+        ("dst", "ascending")])
+    t = t.take(idx)
+    src = t.column("src").to_numpy(zero_copy_only=False)
+    starts = np.concatenate([[0], np.nonzero(src[1:] != src[:-1])[0] + 1])
+    sizes = np.diff(np.concatenate([starts, [len(t)]]))
+    ai, bi = _pair_indices(sizes, np.ones(len(sizes), dtype=bool))
+    if len(ai) == 0:
+        return empty.empty_table()
+    dst = t.column("dst").combine_chunks()
+    return pa.table({
+        "u": pa.array(src[ai]),
+        "v": dst.take(pa.array(ai)),
+        "w": dst.take(pa.array(bi)),
+    })
+
+
+def triangle_rows(edges_ds, num_buckets: int | None = None):
+    """Undirected distinct (a, b) pairs -> one (u, v, w) row per
+    triangle, each triangle listed exactly once (u, v, w in
+    (degree, id)-rank order)."""
+    if num_buckets is None:
+        num_buckets = _auto_buckets(edges_ds)
+    degrees = node_degrees(edges_ds)
+    oriented = _oriented_edges(edges_ds, degrees, num_buckets)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", pa.array(
+            to_bucket(hash_column(t.column("src")), num_buckets)))
+
+    wedges = oriented.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("_bkt").map_groups(
+            lambda t: _wedges_in_bucket(t.drop_columns(["_bkt"])),
+            batch_format="pyarrow")
+
+    def key_wedge(t: pa.Table) -> pa.Table:
+        k = hash_columns(t.column("v"), t.column("w")).view(np.int64)
+        return t.append_column("_k", pa.array(k))
+
+    def key_edge(t: pa.Table) -> pa.Table:
+        k = hash_columns(t.column("src"), t.column("dst")).view(np.int64)
+        return pa.table({"_k": pa.array(k), "e_v": t.column("src"),
+                         "e_w": t.column("dst")})
+
+    closed = grouped_join(
+        wedges.map_batches(key_wedge, batch_format="pyarrow"),
+        oriented.map_batches(key_edge, batch_format="pyarrow"),
+        "_k", "_k", ["u", "v", "w", "_k"], ["_k", "e_v", "e_w"],
+        {"u": _S, "v": _S, "w": _S, "_k": _I, "e_v": _S, "e_w": _S},
+        num_buckets=num_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        # fused-key equality stood in for pair identity; a collision
+        # must drop the candidate, never fabricate a triangle
+        mask = pc.and_(pc.equal(t.column("v"), t.column("e_v")),
+                       pc.equal(t.column("w"), t.column("e_w")))
+        return t.filter(mask).select(["u", "v", "w"])
+
+    return closed.map_batches(verify, batch_format="pyarrow")
+
+
+def triangle_counts(edges_ds, num_buckets: int | None = None):
+    """(node, tri_count): triangles through each node. Nodes in no
+    triangle are absent (callers left-join + fill 0)."""
+    from ray.data.aggregate import Sum
+
+    tri = triangle_rows(edges_ds, num_buckets=num_buckets)
+
+    def explode(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([t.column(c).combine_chunks()
+                                  for c in ("u", "v", "w")])
+        return _partial_counts(pa.table({"node": nodes}), "node")
+
+    return tri.map_batches(explode, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("n", alias_name="tri_count"))
+
+
+# -------------------------------------------------------------- k-hop
+
+
+def two_hop_counts(edges_ds, num_buckets: int | None = None,
+                   max_mid_degree: int | None = None):
+    """(node, two_hop_count): distinct nodes within <=2 undirected
+    hops of each node (the node itself excluded).
+
+    ``max_mid_degree``: skip middle nodes whose degree exceeds the cap
+    (hub fan-out control); the number of skipped middle nodes is
+    LOGGED, and capping only UNDERcounts reach through mega-hubs —
+    documented lossy mode, default exact."""
+    from ray.data.aggregate import Sum
+
+    if num_buckets is None:
+        num_buckets = _auto_buckets(edges_ds)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    nb = edges_ds.map_batches(sym, batch_format="pyarrow")
+    mid = nb.map_batches(lambda t: t.rename_columns(["m", "w"]),
+                         batch_format="pyarrow")
+    if max_mid_degree is not None:
+        from ner_ray.functions.joins import semi_join
+
+        # the over-cap hub set is the extreme tail of the degree
+        # distribution — small by construction, safe to collect
+        hot = node_degrees(edges_ds) \
+            .filter(expr=f"degree > {int(max_mid_degree)}") \
+            .select_columns(["node"]).take_all()
+        if hot:
+            logger.warning(
+                "two_hop_counts: skipping %d middle nodes over "
+                "max_mid_degree=%d (reach through them is undercounted)",
+                len(hot), max_mid_degree)
+            mid = semi_join(mid, [r["node"] for r in hot], on="m",
+                            anti=True)
+    left = nb.map_batches(lambda t: t.rename_columns(["u", "m"]),
+                          batch_format="pyarrow")
+    two = grouped_join(left, mid, "m", "m", ["u", "m"], ["m", "w"],
+                       {"u": _S, "m": _S, "w": _S},
+                       num_buckets=num_buckets) \
+        .map_batches(lambda t: t.select(["u", "w"]).filter(
+            pc.not_equal(t.column("u"), t.column("w"))),
+        batch_format="pyarrow")
+    reach = two.union(nb.map_batches(
+        lambda t: t.rename_columns(["u", "w"]), batch_format="pyarrow"))
+    distinct = _distinct_pairs(reach, "u", "w")
+    return distinct.map_batches(
+        lambda t: _partial_counts(t.rename_columns(["node", "w"]), "node"),
+        batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("n", alias_name="two_hop_count"))
+
+
+# ------------------------------------------------------------ pagerank
+
+
+def pagerank(edges_ds, iters: int = 20, damping: float = 0.85,
+             num_buckets: int | None = None):
+    """Distinct directed (src, dst) pairs -> (node, rank) after
+    ``iters`` power iterations with uniform teleport and dangling mass
+    redistributed uniformly (the standard formulation):
+
+    rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u)
+                              + dangling_mass/N)
+    """
+    from ray.data.aggregate import Max, Sum
+
+    edges = edges_ds.materialize()
+    if num_buckets is None:
+        num_buckets = _auto_buckets(edges)
+
+    out_deg = edges.map_batches(
+        lambda t: _partial_counts(
+            t.select(["src"]).rename_columns(["node"]), "node"),
+        batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("n", alias_name="out_deg"))
+
+    def all_nodes(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([t.column("src").combine_chunks(),
+                                  t.column("dst").combine_chunks()])
+        return _partial_counts(pa.table({"node": nodes}), "node")
+
+    nodes = edges.map_batches(all_nodes, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("n", alias_name="_c")) \
+        .map_batches(lambda t: t.append_column(
+            "out_deg", pa.array(np.zeros(len(t), np.int64))),
+        batch_format="pyarrow").select_columns(["node", "out_deg"])
+
+    # base = (node, out_deg) for ALL nodes: union + groupby(Max) — no
+    # left-outer join (out_deg rows win over the zero placeholders)
+    base = nodes.union(out_deg).groupby("node").aggregate(
+        Max("out_deg", alias_name="out_deg")).materialize()
+    n = base.count()
+    if n == 0:
+        return base.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "rank": pa.nulls(0, pa.float64())}),
+            batch_format="pyarrow")
+
+    ranks = base.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array(np.full(len(t), 1.0 / n))),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        agg = ranks.filter(expr="out_deg == 0") \
+            .aggregate(Sum("rank", alias_name="s"))
+        dangling = (agg or {}).get("s") or 0.0
+        contrib_rows = grouped_join(
+            edges, ranks.filter(expr="out_deg > 0"),
+            "src", "node", ["src", "dst"], ["node", "out_deg", "rank"],
+            {"src": _S, "dst": _S, "node": _S, "out_deg": _I, "rank": _F},
+            num_buckets=num_buckets)
+
+        def per_edge(t: pa.Table) -> pa.Table:
+            share = pc.divide(
+                t.column("rank"),
+                pc.cast(t.column("out_deg"), pa.float64()))
+            g = pa.table({"node": t.column("dst"), "c": share}) \
+                .group_by(["node"]).aggregate([("c", "sum")])
+            return g.rename_columns(["node", "c"])
+
+        contrib = contrib_rows.map_batches(per_edge,
+                                           batch_format="pyarrow")
+        base_zero = base.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "c": pa.array(np.zeros(len(t)))}),
+            batch_format="pyarrow")
+        summed = contrib.union(base_zero).groupby("node").aggregate(
+            Sum("c", alias_name="c"))
+        # re-attach out_deg the same union+Max way (scalar rows only)
+        deg_rows = base.map_batches(
+            lambda t: t.append_column(
+                "c", pa.array(np.full(len(t), -1.0))),
+            batch_format="pyarrow").select_columns(["node", "out_deg", "c"])
+        merged = summed.map_batches(
+            lambda t: t.append_column(
+                "out_deg", pa.array(np.full(len(t), -1, np.int64)))
+            .select(["node", "out_deg", "c"]),
+            batch_format="pyarrow").union(deg_rows) \
+            .groupby("node").aggregate(Max("out_deg", alias_name="out_deg"),
+                                       Max("c", alias_name="c"))
+        teleport = (1.0 - damping) / n + damping * dangling / n
+
+        def update(t: pa.Table) -> pa.Table:
+            rank = pc.add(pc.multiply(t.column("c"), damping), teleport)
+            return pa.table({"node": t.column("node"),
+                             "out_deg": t.column("out_deg"),
+                             "rank": rank})
+
+        ranks = merged.map_batches(update,
+                                   batch_format="pyarrow").materialize()
+
+    return ranks.select_columns(["node", "rank"])

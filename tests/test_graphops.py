@@ -1,0 +1,183 @@
+"""Graph analytics (graphops): brute-force equivalence on random
+graphs, triangle/2-hop DuckDB equivalence, PageRank vs a dense numpy
+power iteration, and hub-cap logging."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ner_ray.stages.graphops import (
+    directed_edges,
+    node_degrees,
+    pagerank,
+    triangle_counts,
+    triangle_rows,
+    two_hop_counts,
+    undirected_edges,
+)
+
+
+def _random_triples(seed: int, n_nodes: int = 40, n_edges: int = 300):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "subj": [f"E{i:03d}" for i in rng.integers(0, n_nodes, n_edges)],
+        "pred": "p",
+        "obj": [f"E{i:03d}" for i in rng.integers(0, n_nodes, n_edges)],
+    })
+
+
+def _brute(df: pd.DataFrame):
+    E = set()
+    for s, o in zip(df.subj, df.obj):
+        if s != o:
+            E.add((min(s, o), max(s, o)))
+    adj: dict[str, set] = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = set()
+    for a, b in E:
+        for c in adj[a] & adj[b]:
+            tris.add(tuple(sorted([a, b, c])))
+    tri_n: dict[str, int] = {}
+    for t in tris:
+        for x in t:
+            tri_n[x] = tri_n.get(x, 0) + 1
+    two = {}
+    for u in adj:
+        reach = set(adj[u])
+        for m in adj[u]:
+            reach |= adj[m]
+        reach.discard(u)
+        two[u] = len(reach)
+    return E, adj, tris, tri_n, two
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session):
+    import ray.data as rd
+
+    df = _random_triples(7)
+    ds = rd.from_pandas(df)
+    und = undirected_edges(ds).materialize()
+    return df, ds, und
+
+
+def test_undirected_edges_and_degrees(graph):
+    df, _, und = graph
+    E, adj, *_ = _brute(df)
+    up = und.to_pandas()
+    assert set(zip(up.a, up.b)) == E
+    assert (up.a < up.b).all()
+    deg = node_degrees(und).to_pandas().set_index("node")["degree"]
+    assert deg.to_dict() == {u: len(vs) for u, vs in adj.items()}
+
+
+def test_triangles_match_brute_force(graph):
+    df, _, und = graph
+    _, _, tris, tri_n, _ = _brute(df)
+    tr = triangle_rows(und).to_pandas()
+    assert len(tr) == len(tris)
+    assert set(tuple(sorted([r.u, r.v, r.w]))
+               for r in tr.itertuples()) == tris
+    tc = triangle_counts(und).to_pandas()
+    assert tc.set_index("node")["tri_count"].to_dict() == tri_n
+
+
+def test_two_hop_matches_brute_force(graph):
+    df, _, und = graph
+    *_, two = _brute(df)
+    th = two_hop_counts(und).to_pandas()
+    assert th.set_index("node")["two_hop_count"].to_dict() == two
+
+
+def test_triangles_two_hop_match_duckdb(graph):
+    """The exact SQL shapes used by the q_adjacency_degree oracle."""
+    import duckdb
+
+    df, _, und = graph
+    con = duckdb.connect()
+    con.register("res", df)
+    tri_sql = con.sql("""
+        WITH und AS (SELECT DISTINCT least(subj, obj) AS a,
+                            greatest(subj, obj) AS b
+                     FROM res WHERE subj <> obj),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1 JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT node, CAST(count(*) AS BIGINT) AS tri_count FROM (
+            SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY node ORDER BY node
+    """).df()
+    tc = triangle_counts(und).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(tc, tri_sql)
+
+    two_sql = con.sql("""
+        WITH und AS (SELECT DISTINCT least(subj, obj) AS a,
+                            greatest(subj, obj) AS b
+                     FROM res WHERE subj <> obj),
+        nb AS (SELECT a AS u, b AS v FROM und
+               UNION ALL SELECT b, a FROM und)
+        SELECT u AS node, CAST(count(DISTINCT w) AS BIGINT)
+               AS two_hop_count
+        FROM (SELECT n1.u AS u, n2.v AS w FROM nb n1
+              JOIN nb n2 ON n2.u = n1.v WHERE n2.v <> n1.u
+              UNION SELECT u, v FROM nb) GROUP BY u ORDER BY u
+    """).df()
+    th = two_hop_counts(und).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(th, two_sql)
+
+
+def test_two_hop_hub_cap_logs_and_undercounts(graph, caplog):
+    import logging
+
+    df, _, und = graph
+    exact = two_hop_counts(und).to_pandas().set_index(
+        "node")["two_hop_count"]
+    with caplog.at_level(logging.WARNING, logger="ner_ray.stages.graphops"):
+        capped = two_hop_counts(und, max_mid_degree=5).to_pandas() \
+            .set_index("node")["two_hop_count"]
+    assert any("max_mid_degree" in r.message for r in caplog.records)
+    # capping only ever undercounts
+    joint = pd.concat([exact, capped], axis=1, keys=["e", "c"]).fillna(0)
+    assert (joint.c <= joint.e).all()
+    assert (joint.c < joint.e).any()
+
+
+def test_pagerank_matches_dense_power_iteration(graph):
+    df, ds, _ = graph
+    de = directed_edges(ds).materialize()
+    dp = de.to_pandas()
+    nodes = sorted(set(dp.src) | set(dp.dst))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    outd = np.zeros(n)
+    for s, o in zip(dp.src, dp.dst):
+        M[idx[o], idx[s]] += 1.0
+        outd[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    iters = 8
+    for _ in range(iters):
+        dangling = r[outd == 0].sum()
+        contrib = M @ np.where(outd > 0, r / np.maximum(outd, 1), 0.0)
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    pr = pagerank(de, iters=iters).to_pandas().set_index("node")["rank"]
+    got = np.array([pr[v] for v in nodes])
+    assert np.allclose(got, r, rtol=0, atol=1e-12)
+    assert abs(pr.sum() - 1.0) < 1e-9
+
+
+def test_empty_graph(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"subj": ["A"], "pred": ["p"], "obj": ["A"]})
+    und = undirected_edges(rd.from_pandas(df)).materialize()
+    assert und.count() == 0
+    assert triangle_counts(und).count() == 0
+    assert two_hop_counts(und).count() == 0
