@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
@@ -49,35 +50,74 @@ def hash_join(left, right, left_on: str, right_on: str,
                      on=(left_on,), right_on=(right_on,))
 
 
-def bucketed_hash_join(left, right, left_on: str, right_on: str,
-                       num_buckets: int = 8):
-    """Portable explicit-partitioned hash join: bucket both sides by
-    key hash, groupby bucket, pairwise merge per bucket (the fallback
-    pattern for engines without Dataset.join). Inner join only."""
-    from ner_ray.util.hashing import hash_column
+def grouped_join(left, right, left_on: str, right_on: str,
+                 left_cols: list[str], right_cols: list[str],
+                 types: dict[str, pa.DataType],
+                 num_buckets: int = 32, how: str = "inner"):
+    """Bucket-partitioned join with NO Dataset.join operator: tag
+    side, bucket by key hash, union, groupby(bucket), one
+    ``pyarrow.Table.join`` per group. Composes freely in one streaming
+    DAG (a groupby is just a shuffle) — multiple Dataset.join
+    operators in one DAG can deadlock the streaming executor when
+    their aggregators exceed the CPU budget (SCALE.md join-DAG
+    hazard). Explicit ``left_cols`` / ``right_cols`` make the group
+    callable immune to the union's null-padded schema promotion;
+    ``types`` (column -> Arrow type) reconstructs a typed empty side
+    when a bucket group received rows from only one side (schema() on
+    a lazy chain would force an early shuffle — static types are
+    free). Non-key output columns must be disjoint across sides;
+    Arrow types are preserved end to end (no pandas NaN coercion)."""
+    from ner_ray.util.hashing import hash_column, to_bucket
 
-    def tag(col, side):
+    def tag(side: int, key: str, cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:
-            b = (hash_column(t.column(col)) % np.uint64(num_buckets)) \
-                .astype(np.int64)
-            t = t.append_column("_bucket", pa.array(b))
-            return t.append_column("_side",
-                                   pa.array(np.full(len(t), side, np.int8)))
+            t = t.select(cols)
+            b = to_bucket(hash_column(t.column(key)), num_buckets)
+            t = t.append_column("_bkt", pa.array(b))
+            return t.append_column(
+                "_side", pa.array(np.full(len(t), side, np.int8)))
 
         return fn
 
-    l = left.map_batches(tag(left_on, 0), batch_format="pyarrow")
-    r = right.map_batches(tag(right_on, 1), batch_format="pyarrow")
-    both = l.union(r)
+    both = left.map_batches(tag(0, left_on, left_cols),
+                            batch_format="pyarrow") \
+        .union(right.map_batches(tag(1, right_on, right_cols),
+                                 batch_format="pyarrow"))
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0].drop(columns=["_side", "_bucket"])
-        rg = g[g["_side"] == 1].drop(columns=["_side", "_bucket"])
-        out = lg.merge(rg, how="inner", left_on=left_on, right_on=right_on)
-        return out
+    def side_table(g: pa.Table, mask, cols: list[str]) -> pa.Table:
+        if all(c in g.column_names for c in cols):
+            return g.filter(mask).select(cols)
+        # this side sent no rows to the group: typed empty table
+        return pa.schema(
+            [(c, g.schema.field(c).type if c in g.column_names
+              else types[c]) for c in cols]).empty_table()
 
-    return both.groupby("_bucket").map_groups(join_bucket,
-                                              batch_format="pandas")
+    def join_group(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g.column("_side"), 0)
+        lg = side_table(g, lmask, left_cols)
+        rg = side_table(g, pc.invert(lmask), right_cols)
+        return lg.join(rg, keys=[left_on], right_keys=[right_on],
+                       join_type=how)
+
+    return both.groupby("_bkt").map_groups(join_group,
+                                           batch_format="pyarrow")
+
+
+def bucketed_hash_join(left, right, left_on: str, right_on: str,
+                       num_buckets: int = 8):
+    """Portable explicit-partitioned hash join (the fallback pattern
+    for engines without Dataset.join): ``grouped_join`` with column
+    lists and types taken from the input schemas (metadata-only on
+    the read-rooted / materialized datasets this entry point serves —
+    pass explicit lists via ``grouped_join`` for lazy chains).
+    Inner join only; non-key column names must be disjoint."""
+    ls, rs = left.schema(), right.schema()
+    left_cols = list(ls.names)
+    right_cols = list(rs.names)
+    types = {n: t for n, t in zip(ls.names, ls.types)}
+    types.update({n: t for n, t in zip(rs.names, rs.types)})
+    return grouped_join(left, right, left_on, right_on, left_cols,
+                        right_cols, types, num_buckets=num_buckets)
 
 
 def semi_join(ds, keys, on: str, anti: bool = False):

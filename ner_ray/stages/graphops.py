@@ -55,6 +55,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ner_ray.functions.joins import grouped_join
 from ner_ray.stages.neardup import (
     _auto_buckets,
     _distinct_pairs,
@@ -67,57 +68,6 @@ logger = logging.getLogger(__name__)
 _S, _I, _F = pa.string(), pa.int64(), pa.float64()
 
 _EMPTY_COUNTS = pa.schema([("node", pa.string()), ("n", pa.int64())])
-
-
-# --------------------------------------------------------- grouped join
-
-
-def grouped_join(left, right, left_on: str, right_on: str,
-                 left_cols: list[str], right_cols: list[str],
-                 types: dict[str, pa.DataType],
-                 num_buckets: int = 32, how: str = "inner"):
-    """Bucket-partitioned join with NO Dataset.join operator: tag
-    side, bucket by key hash, union, groupby(bucket), one
-    ``pyarrow.Table.join`` per group. Composes freely in one streaming
-    DAG (a groupby is just a shuffle). Explicit ``left_cols`` /
-    ``right_cols`` make the group callable immune to the union's
-    null-padded schema promotion; ``types`` (column -> Arrow type)
-    reconstructs a typed empty side when a bucket group received rows
-    from only one side (schema() on a lazy chain would force an early
-    shuffle — static types are free). Non-key output columns must be
-    disjoint across sides; Arrow types are preserved end to end (no
-    pandas NaN/float coercion)."""
-
-    def tag(side: int, key: str):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.select(left_cols if side == 0 else right_cols)
-            b = to_bucket(hash_column(t.column(key)), num_buckets)
-            t = t.append_column("_bkt", pa.array(b))
-            return t.append_column(
-                "_side", pa.array(np.full(len(t), side, np.int8)))
-
-        return fn
-
-    both = left.map_batches(tag(0, left_on), batch_format="pyarrow") \
-        .union(right.map_batches(tag(1, right_on), batch_format="pyarrow"))
-
-    def side_table(g: pa.Table, mask, cols: list[str]) -> pa.Table:
-        if all(c in g.column_names for c in cols):
-            return g.filter(mask).select(cols)
-        # this side sent no rows to the group: typed empty table
-        return pa.schema(
-            [(c, g.schema.field(c).type if c in g.column_names
-              else types[c]) for c in cols]).empty_table()
-
-    def join_group(g: pa.Table) -> pa.Table:
-        lmask = pc.equal(g.column("_side"), 0)
-        lg = side_table(g, lmask, left_cols)
-        rg = side_table(g, pc.invert(lmask), right_cols)
-        return lg.join(rg, keys=[left_on], right_keys=[right_on],
-                       join_type=how)
-
-    return both.groupby("_bkt").map_groups(join_group,
-                                           batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- edges
