@@ -192,6 +192,57 @@ def run_bench() -> dict:
     raw_triple_count = int(resolved.sum("weight"))
     adj_rows = adjacency.count()
 
+    # ---------------- graph analytics at data scale ----------------
+    # the fixture-derived KG's entity universe is small by design, so
+    # exercise graphops on a graph whose size scales with SF_DIR: a
+    # deterministic projection of lineitem keys into one node space
+    # (hash-mod both endpoints -> triangles exist, degrees are skewed)
+    import pyarrow.compute as _pc
+
+    from ner_ray.stages.graphops import (
+        pagerank,
+        triangle_counts,
+        two_hop_counts,
+        undirected_edges,
+    )
+
+    def _project(t):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        a = _np.mod(ok, 50_000).astype("U")
+        b = _np.mod(pk + sk, 50_000).astype("U")
+        return _pa.table({"subj": _pa.array(a), "obj": _pa.array(b)})
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    edges_src = li.map_batches(_project, batch_format="pyarrow")
+    tg = time.perf_counter()
+    und = undirected_edges(edges_src).materialize()
+    t_edges = time.perf_counter() - tg
+    tg = time.perf_counter()
+    n_tri_nodes = triangle_counts(und).count()
+    t_tri = time.perf_counter() - tg
+    tg = time.perf_counter()
+    n_two = two_hop_counts(und).count()
+    t_two = time.perf_counter() - tg
+    tg = time.perf_counter()
+    de = und.map_batches(
+        lambda t: t.rename_columns(["src", "dst"]),
+        batch_format="pyarrow")
+    pr = pagerank(de, iters=5)
+    n_pr = pr.count()
+    t_pr = time.perf_counter() - tg
+    graph_stats = {
+        "edges": und.count(), "edges_sec": round(t_edges, 3),
+        "triangle_nodes": n_tri_nodes, "triangles_sec": round(t_tri, 3),
+        "two_hop_nodes": n_two, "two_hop_sec": round(t_two, 3),
+        "pagerank_nodes": n_pr, "pagerank5_sec": round(t_pr, 3),
+    }
+
     # ---------------- representative queries ----------------
     from ner_ray.pipelines.queries import registry
 
@@ -216,6 +267,7 @@ def run_bench() -> dict:
         "adjacency_rows": adj_rows,
         "docs_per_sec": round(n_docs / headline, 1),
         "triples_per_sec": round(raw_triple_count / headline, 1),
+        "graph": graph_stats,
     }
     ray.shutdown()
     probe_post = _effective_cores()

@@ -177,14 +177,56 @@ def _wedges_in_bucket(t: pa.Table) -> pa.Table:
     })
 
 
-def triangle_rows(edges_ds, num_buckets: int | None = None):
+def _oriented_edges_broadcast(edges_ds, degrees_ds):
+    """Map-only orientation: the (node, degree) table broadcasts once
+    via ray.put (sorted arrays + searchsorted lookup) — saves the two
+    degree-attach join shuffles whenever the node table is
+    driver-sized (<= MAX_BROADCAST_NODES)."""
+    import ray
+
+    dt = degrees_ds.to_pandas()
+    order = np.argsort(dt["node"].to_numpy())
+    nodes = dt["node"].to_numpy()[order].astype("U")
+    degs = dt["degree"].to_numpy()[order].astype(np.int64)
+    ref = ray.put((nodes, degs))
+
+    def orient(t: pa.Table, _ref=ref) -> pa.Table:
+        nd, dg = ray.get(_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = dg[np.searchsorted(nd, a)]
+        db = dg[np.searchsorted(nd, b)]
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table({
+            "src": pa.array(np.where(a_first, a, b)),
+            "dst": pa.array(np.where(a_first, b, a)),
+            "dst_deg": pa.array(np.where(a_first, db, da)),
+        })
+
+    return edges_ds.map_batches(orient, batch_format="pyarrow")
+
+
+def triangle_rows(edges_ds, num_buckets: int | None = None,
+                  max_broadcast_nodes: int | None = None):
     """Undirected distinct (a, b) pairs -> one (u, v, w) row per
     triangle, each triangle listed exactly once (u, v, w in
-    (degree, id)-rank order)."""
+    (degree, id)-rank order). Size dispatch: the degree table
+    broadcasts (map-only orientation) when driver-sized, else two
+    grouped degree-attach joins."""
     if num_buckets is None:
         num_buckets = _auto_buckets(edges_ds)
-    degrees = node_degrees(edges_ds)
-    oriented = _oriented_edges(edges_ds, degrees, num_buckets)
+    if max_broadcast_nodes is None:
+        max_broadcast_nodes = MAX_BROADCAST_NODES
+    degrees = node_degrees(edges_ds).materialize()
+    n_nodes = degrees.count()
+    if n_nodes == 0:
+        empty = pa.schema([("u", _S), ("v", _S), ("w", _S)])
+        return edges_ds.map_batches(lambda t: empty.empty_table(),
+                                    batch_format="pyarrow")
+    if n_nodes <= max_broadcast_nodes:
+        oriented = _oriented_edges_broadcast(edges_ds, degrees)
+    else:
+        oriented = _oriented_edges(edges_ds, degrees, num_buckets)
 
     def bucket(t: pa.Table) -> pa.Table:
         return t.append_column("_bkt", pa.array(
@@ -249,8 +291,6 @@ def two_hop_counts(edges_ds, num_buckets: int | None = None,
     (hub fan-out control); the number of skipped middle nodes is
     LOGGED, and capping only UNDERcounts reach through mega-hubs —
     documented lossy mode, default exact."""
-    from ray.data.aggregate import Sum
-
     if num_buckets is None:
         num_buckets = _auto_buckets(edges_ds)
 
@@ -288,24 +328,55 @@ def two_hop_counts(edges_ds, num_buckets: int | None = None,
         batch_format="pyarrow")
     reach = two.union(nb.map_batches(
         lambda t: t.rename_columns(["u", "w"]), batch_format="pyarrow"))
-    distinct = _distinct_pairs(reach, "u", "w")
-    return distinct.map_batches(
-        lambda t: _partial_counts(t.rename_columns(["node", "w"]), "node"),
-        batch_format="pyarrow") \
-        .groupby("node").aggregate(Sum("n", alias_name="two_hop_count"))
+
+    # every (u, *) row lands in u's hash bucket, so per-bucket
+    # dedup-and-count is FINAL — one shuffle, no Min/Max-carry distinct
+    # pass + count pass (each extra groupby costs ~3 s of latency)
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", pa.array(
+            to_bucket(hash_column(t.column("u")), num_buckets)))
+
+    def finalize(g: pa.Table) -> pa.Table:
+        df = g.select(["u", "w"]).to_pandas().drop_duplicates()
+        c = df.groupby("u", sort=False).size()
+        return pa.table({"node": pa.array(c.index, _S),
+                         "two_hop_count": pa.array(
+                             c.to_numpy(dtype=np.int64))})
+
+    return reach.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("_bkt").map_groups(finalize, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ pagerank
 
 
+MAX_BROADCAST_NODES = 2_000_000  # rank vector comfortably driver-sized
+
+
 def pagerank(edges_ds, iters: int = 20, damping: float = 0.85,
-             num_buckets: int | None = None):
+             num_buckets: int | None = None, mode: str = "auto",
+             max_broadcast_nodes: int = MAX_BROADCAST_NODES):
     """Distinct directed (src, dst) pairs -> (node, rank) after
     ``iters`` power iterations with uniform teleport and dangling mass
     redistributed uniformly (the standard formulation):
 
     rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u)
                               + dangling_mass/N)
+
+    Size dispatch (``mode="auto"``, the canonicalize pattern): the
+    EDGE set is always distributed and streamed once per iteration;
+    what dispatches is where the (node, rank) vector lives.
+
+    - ``broadcast`` (nodes <= max_broadcast_nodes): the rank vector is
+      driver numpy; per iteration the per-node share array broadcasts
+      via ``ray.put`` and one map-only pass over the edges emits
+      per-batch pre-summed (node_idx, contribution) partials that the
+      driver accumulates — ZERO shuffles per iteration.
+    - ``distributed`` (above): the rank vector is a Dataset; per
+      iteration one grouped join (edges x ranks) + one groupby(node)
+      fused sum/merge — two scalar-pair shuffles, no driver state.
+
+    Both paths are equality-tested (tests/test_graphops.py).
     """
     from ray.data.aggregate import Max, Sum
 
@@ -341,6 +412,11 @@ def pagerank(edges_ds, iters: int = 20, damping: float = 0.85,
                                 "rank": pa.nulls(0, pa.float64())}),
             batch_format="pyarrow")
 
+    if mode == "auto":
+        mode = "broadcast" if n <= max_broadcast_nodes else "distributed"
+    if mode == "broadcast":
+        return _pagerank_broadcast(edges, base, n, iters, damping)
+
     ranks = base.map_batches(
         lambda t: t.append_column(
             "rank", pa.array(np.full(len(t), 1.0 / n))),
@@ -362,29 +438,23 @@ def pagerank(edges_ds, iters: int = 20, damping: float = 0.85,
                 pc.cast(t.column("out_deg"), pa.float64()))
             g = pa.table({"node": t.column("dst"), "c": share}) \
                 .group_by(["node"]).aggregate([("c", "sum")])
-            return g.rename_columns(["node", "c"])
+            g = g.rename_columns(["node", "c"])
+            return g.add_column(1, "out_deg", pa.array(
+                np.full(len(g), -1, np.int64)))
 
+        # ONE fused groupby merges contribution partials with the
+        # (node, out_deg) base rows: Sum(c) totals contributions
+        # (base contributes 0), Max(out_deg) recovers the real
+        # out-degree over the -1 placeholders — no second shuffle
         contrib = contrib_rows.map_batches(per_edge,
                                            batch_format="pyarrow")
-        base_zero = base.map_batches(
-            lambda t: pa.table({
-                "node": t.column("node"),
-                "c": pa.array(np.zeros(len(t)))}),
-            batch_format="pyarrow")
-        summed = contrib.union(base_zero).groupby("node").aggregate(
+        base_rows = base.map_batches(
+            lambda t: t.append_column("c", pa.array(np.zeros(len(t)))),
+            batch_format="pyarrow").select_columns(
+                ["node", "out_deg", "c"])
+        merged = contrib.union(base_rows).groupby("node").aggregate(
+            Max("out_deg", alias_name="out_deg"),
             Sum("c", alias_name="c"))
-        # re-attach out_deg the same union+Max way (scalar rows only)
-        deg_rows = base.map_batches(
-            lambda t: t.append_column(
-                "c", pa.array(np.full(len(t), -1.0))),
-            batch_format="pyarrow").select_columns(["node", "out_deg", "c"])
-        merged = summed.map_batches(
-            lambda t: t.append_column(
-                "out_deg", pa.array(np.full(len(t), -1, np.int64)))
-            .select(["node", "out_deg", "c"]),
-            batch_format="pyarrow").union(deg_rows) \
-            .groupby("node").aggregate(Max("out_deg", alias_name="out_deg"),
-                                       Max("c", alias_name="c"))
         teleport = (1.0 - damping) / n + damping * dangling / n
 
         def update(t: pa.Table) -> pa.Table:
@@ -397,3 +467,47 @@ def pagerank(edges_ds, iters: int = 20, damping: float = 0.85,
                                    batch_format="pyarrow").materialize()
 
     return ranks.select_columns(["node", "rank"])
+
+
+def _pagerank_broadcast(edges, base, n: int, iters: int, damping: float):
+    """Broadcast-mode power iteration: rank vector on the driver,
+    node-id array broadcast once, per-iteration share array broadcast
+    via ray.put; edges stream through one map-only pass emitting
+    per-batch pre-summed (node_idx, c) partials. Zero shuffles."""
+    import ray
+    import ray.data as rd
+
+    bt = base.to_pandas()
+    order = np.argsort(bt["node"].to_numpy())
+    nodes = bt["node"].to_numpy()[order].astype("U")
+    out_deg = bt["out_deg"].to_numpy()[order].astype(np.int64)
+    nodes_ref = ray.put(nodes)
+    rank = np.full(n, 1.0 / n)
+
+    for _ in range(iters):
+        share = np.where(out_deg > 0, rank / np.maximum(out_deg, 1), 0.0)
+        share_ref = ray.put(share)
+
+        def partial(t: pa.Table, _nr=nodes_ref, _sr=share_ref) -> pa.Table:
+            nd = ray.get(_nr)
+            sh = ray.get(_sr)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            si = np.searchsorted(nd, src)
+            di = np.searchsorted(nd, dst)
+            u, inv = np.unique(di, return_inverse=True)
+            c = np.bincount(inv, weights=sh[si], minlength=len(u))
+            return pa.table({"i": pa.array(u.astype(np.int64)),
+                             "c": pa.array(c)})
+
+        ctot = np.zeros(n)
+        for b in edges.map_batches(
+                partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            np.add.at(ctot, b.column("i").to_numpy(zero_copy_only=False),
+                      b.column("c").to_numpy(zero_copy_only=False))
+        dangling = rank[out_deg == 0].sum()
+        rank = (1.0 - damping) / n + damping * (ctot + dangling / n)
+
+    return rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                   "rank": pa.array(rank)}))

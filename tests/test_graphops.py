@@ -84,6 +84,10 @@ def test_triangles_match_brute_force(graph):
                for r in tr.itertuples()) == tris
     tc = triangle_counts(und).to_pandas()
     assert tc.set_index("node")["tri_count"].to_dict() == tri_n
+    # force the grouped-join (web-scale) orientation path: same rows
+    tr2 = triangle_rows(und, max_broadcast_nodes=0).to_pandas()
+    assert set(tuple(sorted([r.u, r.v, r.w]))
+               for r in tr2.itertuples()) == tris
 
 
 def test_two_hop_matches_brute_force(graph):
@@ -171,6 +175,11 @@ def test_pagerank_matches_dense_power_iteration(graph):
     got = np.array([pr[v] for v in nodes])
     assert np.allclose(got, r, rtol=0, atol=1e-12)
     assert abs(pr.sum() - 1.0) < 1e-9
+    # the distributed (web-scale) path computes the same vector
+    prd = pagerank(de, iters=iters, mode="distributed").to_pandas() \
+        .set_index("node")["rank"]
+    gotd = np.array([prd[v] for v in nodes])
+    assert np.allclose(gotd, r, rtol=0, atol=1e-12)
 
 
 def test_empty_graph(ray_session):
