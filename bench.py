@@ -197,8 +197,6 @@ def run_bench() -> dict:
     # exercise graphops on a graph whose size scales with SF_DIR: a
     # deterministic projection of lineitem keys into one node space
     # (hash-mod both endpoints -> triangles exist, degrees are skewed)
-    import pyarrow.compute as _pc
-
     from ner_ray.stages.graphops import (
         pagerank,
         triangle_counts,

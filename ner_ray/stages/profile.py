@@ -25,11 +25,10 @@ excluded, matching SQL ``count(DISTINCT col)`` semantics.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ner_ray.functions.aggregates import _hll_estimate, _hll_partial, HLL_P
+from ner_ray.functions.aggregates import _hll_estimate, _hll_partial
 
 _PARTIAL_SCHEMA = pa.schema([
     ("column", pa.string()),
