@@ -42,11 +42,26 @@ def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
                           num_cpus=1)
 
 
+def clamp_join_partitions(n: int) -> int:
+    """Cap a Dataset.join partition count at the cluster CPU budget:
+    a join whose hash-shuffle aggregators exceed available CPUs can
+    backpressure the streaming executor to a standstill (observed:
+    num_partitions=16 on a 4-CPU session hangs; 4 completes). Keeps
+    the requested count on big clusters, floors at 2."""
+    import ray
+
+    try:
+        avail = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        return n
+    return max(2, min(n, avail)) if avail else n
+
+
 def hash_join(left, right, left_on: str, right_on: str,
               join_type: str = "inner", num_partitions: int = 8):
     """Large×large hash join via Dataset.join (J2)."""
     return left.join(right, join_type=join_type,
-                     num_partitions=num_partitions,
+                     num_partitions=clamp_join_partitions(num_partitions),
                      on=(left_on,), right_on=(right_on,))
 
 

@@ -82,9 +82,16 @@ def canonicalize_local(edges_ds) -> "pa.Table":
 def canonicalize_distributed(edges_ds, num_partitions: int = 16):
     """Iterated groupby-min label propagation; returns a Dataset with
     COMPONENTS columns. Each round: alias-side Min then entity-side
-    Min; stops when no label changed (fixpoint) or MAX_ROUNDS."""
+    Min; stops when no label changed (fixpoint) or MAX_ROUNDS.
+    ``num_partitions`` is clamped to the cluster CPU budget — a join
+    whose aggregators exceed available CPUs deadlocks the streaming
+    executor (functions/joins.clamp_join_partitions)."""
     import ray.data as rd
     from ray.data.aggregate import Min
+
+    from ner_ray.functions.joins import clamp_join_partitions
+
+    num_partitions = clamp_join_partitions(num_partitions)
 
     edges = edges_ds.select_columns(["entity_id", "alias"]).materialize()
     labels = (
@@ -253,7 +260,11 @@ def canonicalize_and_resolve(raw_triples_ds, alias_edges_ds,
 
 def resolve_triples_join(deduped_ds, canon_ds, num_partitions: int = 16):
     """Q4 scale path: two hash joins (subj then obj) for canonical maps
-    too large to broadcast; identical semantics to resolve_triples."""
+    too large to broadcast; identical semantics to resolve_triples.
+    Partition count clamped to the CPU budget (join-DAG hazard)."""
+    from ner_ray.functions.joins import clamp_join_partitions
+
+    num_partitions = clamp_join_partitions(num_partitions)
     c1 = canon_ds.map_batches(
         lambda t: t.rename_columns(["subj", "subj_canon"]),
         batch_format="pyarrow")

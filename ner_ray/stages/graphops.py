@@ -511,3 +511,38 @@ def _pagerank_broadcast(edges, base, n: int, iters: int, damping: float):
 
     return rd.from_arrow(pa.table({"node": pa.array(nodes),
                                    "rank": pa.array(rank)}))
+
+
+# --------------------------------------------------- components
+
+
+def connected_components(edges_ds, a_col: str = "a", b_col: str = "b"):
+    """Undirected (a, b) edges -> Dataset[(node, component)] where
+    component = lexicographically-min node id of the component.
+
+    Reuses canon.canonicalize's size dispatch (driver union-find below
+    the threshold, iterated groupby-min label propagation above) via
+    the pair-as-alias reduction near_dedup_docs uses: each edge
+    becomes two (entity, alias=edge-key) rows, so nodes sharing an
+    edge share an alias. Isolated nodes (no edges) are absent."""
+    import ray.data as rd
+
+    from ner_ray.stages.canon import canonicalize
+
+    def pair_edges(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).cast(pa.string())
+        b = t.column(b_col).cast(pa.string())
+        key = pc.binary_join_element_wise(a, b, "\x1f")
+        return pa.table({
+            "entity_id": pa.concat_arrays([a.combine_chunks(),
+                                           b.combine_chunks()]),
+            "alias": pa.concat_arrays([key.combine_chunks()] * 2),
+        })
+
+    edges = edges_ds.map_batches(pair_edges, batch_format="pyarrow")
+    comp = canonicalize(edges)
+    if not hasattr(comp, "map_batches"):
+        comp = rd.from_arrow(comp)
+    return comp.map_batches(
+        lambda t: t.rename_columns(["node", "component"]),
+        batch_format="pyarrow")

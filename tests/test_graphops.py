@@ -190,3 +190,47 @@ def test_empty_graph(ray_session):
     assert und.count() == 0
     assert triangle_counts(und).count() == 0
     assert two_hop_counts(und).count() == 0
+
+
+def test_connected_components(graph, ray_session):
+    from ner_ray.stages.graphops import connected_components
+
+    df, _, und = graph
+    E, adj, *_ = _brute(df)
+    # brute-force union-find
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in E:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_sets: dict = {}
+    for x in parent:
+        comp_sets.setdefault(find(x), set()).add(x)
+    exp = {x: min(s) for r, s in comp_sets.items() for x in s}
+    got = connected_components(und).to_pandas() \
+        .set_index("node")["component"].to_dict()
+    assert got == exp
+
+
+def test_connected_components_forced_distributed(graph, ray_session,
+                                                 monkeypatch):
+    from ner_ray.stages import canon
+    from ner_ray.stages.graphops import connected_components
+
+    df, _, und = graph
+    base = connected_components(und).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    monkeypatch.setattr(canon, "LOCAL_THRESHOLD", 0)
+    dist = connected_components(und).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(base, dist)
