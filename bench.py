@@ -326,6 +326,10 @@ def run_scaling() -> dict:
         "samples_8": [r["value"] for r in lo_runs],
         "samples_32": [r["value"] for r in hi_runs],
         "repeats": repeats,
+        # 8-vs-32 graph-analytics seconds from the same runs (edges /
+        # triangles / 2-hop / pagerank over the identical projection)
+        "graph_8": r_lo.get("graph"),
+        "graph_32": r_hi.get("graph"),
     }
 
 

@@ -546,3 +546,45 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b"):
     return comp.map_batches(
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- k-core
+
+
+def k_core(edges_ds, k: int, max_rounds: int = 100):
+    """Undirected distinct (a, b) pairs -> the k-core subgraph's edge
+    set (every surviving node has degree >= k within the subgraph).
+
+    Standard iterative peeling as a driver loop: each round computes
+    degrees (per-batch partial counts -> one groupby), broadcasts the
+    UNDER-k node set (the peeled set shrinks monotonically and each
+    round's removals are the degree-distribution tail, driver-sized by
+    the same argument as two_hop's hub set), and drops incident edges
+    map-only. Converges when a round removes nothing; the edge set
+    only shrinks, so rounds are bounded by the peeling depth
+    (<= max_rounds guard raises rather than silently stopping early).
+    """
+    import ray
+
+    edges = edges_ds.materialize()
+    for _ in range(max_rounds):
+        if edges.count() == 0:
+            return edges
+        degs = node_degrees(edges)
+        low = degs.filter(expr=f"degree < {int(k)}") \
+            .select_columns(["node"]).take_all()
+        if not low:
+            return edges
+        low_ref = ray.put(pa.array(sorted(r["node"] for r in low)))
+
+        def drop(t: pa.Table, _ref=low_ref) -> pa.Table:
+            bad = ray.get(_ref)
+            mask = pc.and_(
+                pc.invert(pc.is_in(t.column("a"), value_set=bad)),
+                pc.invert(pc.is_in(t.column("b"), value_set=bad)))
+            return t.filter(mask)
+
+        edges = edges.map_batches(drop, batch_format="pyarrow") \
+            .materialize()
+    raise RuntimeError(
+        f"k_core did not converge in {max_rounds} rounds (k={k})")

@@ -234,3 +234,37 @@ def test_connected_components_forced_distributed(graph, ray_session,
         .sort_values("node").reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(base, dist)
+
+
+def test_k_core_matches_brute_force(graph, ray_session):
+    from ner_ray.stages.graphops import k_core
+
+    df, _, und = graph
+    E, adj, *_ = _brute(df)
+    for k in (2, 4, 7):
+        # brute-force peeling
+        cur = {u: set(vs) for u, vs in adj.items()}
+        changed = True
+        while changed:
+            changed = False
+            for u in list(cur):
+                if len(cur[u]) < k:
+                    for v in cur[u]:
+                        cur[v].discard(u)
+                    del cur[u]
+                    changed = True
+        exp = set()
+        for u, vs in cur.items():
+            for v in vs:
+                exp.add((min(u, v), max(u, v)))
+        got = k_core(und, k).to_pandas()
+        assert set(zip(got.a, got.b)) == exp, f"k={k}"
+
+
+def test_k_core_degenerate(ray_session, graph):
+    from ner_ray.stages.graphops import k_core
+
+    _, _, und = graph
+    assert k_core(und, 10_000).count() == 0
+    full = k_core(und, 1).to_pandas()
+    assert len(full) == und.count()
