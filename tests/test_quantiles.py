@@ -1,0 +1,78 @@
+"""Quantile operators: DDSketch relative-error bound, exact
+nearest-rank equality with DuckDB quantile_disc, layout independence,
+and sign/zero handling."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@pytest.fixture()
+def mixed_values(ray_session):
+    rng = np.random.default_rng(7)
+    x = np.concatenate([
+        rng.lognormal(3.0, 2.0, 40_000),          # heavy positive tail
+        -rng.lognormal(1.0, 1.5, 15_000),         # negatives
+        np.zeros(500),                            # exact zeros
+        np.repeat(rng.lognormal(3.0, 1.0, 10), 400),  # heavy duplicates
+    ])
+    rng.shuffle(x)
+    return x
+
+
+def _nearest_rank(x, q):
+    s = np.sort(x)
+    return s[min(max(int(np.ceil(q * len(s))), 1), len(s)) - 1]
+
+
+def test_approx_quantile_relative_error(ray_session, mixed_values):
+    import ray.data as rd
+
+    from ner_ray.functions.aggregates import approx_quantile
+
+    ds = rd.from_arrow(pa.table({"v": mixed_values}))
+    est = approx_quantile(ds, "v", QS, alpha=0.01)
+    for q, e in zip(QS, est):
+        true = _nearest_rank(mixed_values, q)
+        if true == 0:
+            assert e == 0
+        else:
+            assert abs(e - true) / abs(true) <= 0.0105, (q, e, true)
+
+
+def test_approx_quantile_layout_independent(ray_session, mixed_values):
+    import ray.data as rd
+
+    from ner_ray.functions.aggregates import approx_quantile
+
+    t = pa.table({"v": mixed_values})
+    a = approx_quantile(rd.from_arrow(t).repartition(1), "v", QS)
+    b = approx_quantile(rd.from_arrow(t).repartition(17), "v", QS)
+    assert a == b  # additive counts -> bit-identical, not just close
+
+
+def test_exact_quantile_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from ner_ray.functions.aggregates import exact_quantile
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = rd.read_parquet(path, columns=["l_quantity"])
+    got = exact_quantile(ds, "l_quantity", QS)
+    con = duckdb.connect()
+    want = [con.sql(
+        f"SELECT quantile_disc(l_quantity, {q}) FROM '{path}'"
+    ).fetchone()[0] for q in QS]
+    assert [float(g) for g in got] == [float(w) for w in want]
+
+
+def test_exact_quantile_nulls_ignored(ray_session):
+    import ray.data as rd
+
+    from ner_ray.functions.aggregates import exact_quantile
+
+    t = pa.table({"v": pa.array([3.0, None, 1.0, None, 2.0])})
+    assert exact_quantile(rd.from_arrow(t), "v", [0.5]) == [2.0]
