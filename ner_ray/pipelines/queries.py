@@ -109,11 +109,15 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        round(sum(l_quantity), 3) AS sum_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(min(l_discount), 6) AS min_disc,
-       round(max(l_tax), 6) AS max_tax
+       round(max(l_tax), 6) AS max_tax,
+       quantile_disc(l_quantity, 0.5) AS median_qty,
+       quantile_disc(l_extendedprice, 0.99) AS p99_price
 FROM lineitem
 """)
 def q_global_agg(sf_dir: str):
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    from ner_ray.functions.aggregates import exact_quantile
 
     ds = _rp(sf_dir, "lineitem",
              ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
@@ -124,12 +128,19 @@ def q_global_agg(sf_dir: str):
         Min("l_discount", alias_name="min_disc"),
         Max("l_tax", alias_name="max_tax"),
     )
+    # exact nearest-rank quantiles (distributed value counts) — the
+    # values are raw data points, so no rounding is needed for the
+    # DuckDB quantile_disc match
+    (median_qty,) = exact_quantile(ds, "l_quantity", [0.5])
+    (p99_price,) = exact_quantile(ds, "l_extendedprice", [0.99])
     return pa.table({
         "n": pa.array([int(res["n"])], pa.int64()),
         "sum_qty": pa.array([round(res["sum_qty"], 3)]),
         "avg_price": pa.array([round(res["avg_price"], 4)]),
         "min_disc": pa.array([round(res["min_disc"], 6)]),
         "max_tax": pa.array([round(res["max_tax"], 6)]),
+        "median_qty": pa.array([float(median_qty)]),
+        "p99_price": pa.array([float(p99_price)]),
     })
 
 
