@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ner_ray.util.hashing import hash_column
 
@@ -222,3 +223,82 @@ def exact_quantile(ds, col: str, qs: list[float]) -> list[float]:
     n = int(cum[-1])
     return [vals[int(np.searchsorted(cum, min(max(int(np.ceil(q * n)), 1), n)))]
             for q in qs]
+
+
+def _grouped_quantile(ds, key: str, col: str, qs: list[float],
+                      bucketer, representative):
+    """Shared grouped-quantile plan: per-batch (key, bucket, count)
+    partials -> ONE fused-int64-key groupby (Ray's multi-key
+    sort-aggregate penalty — see neardup._distinct_pairs; Min/Max
+    carry drops hash-collided groups instead of fabricating rows) ->
+    per-key cumulative walk in groupby(key).map_groups (each key's
+    histogram is O(buckets), never O(rows))."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ner_ray.util.hashing import hash_columns
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t.column(key).to_pandas()
+        m = np.isfinite(x)
+        df = pd.DataFrame({"k": k[m], "qb": bucketer(x[m])})
+        g = df.groupby(["k", "qb"], sort=False, observed=True).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({key: pa.array(idx["k"]),
+                         "qb": pa.array(idx["qb"].to_numpy()),
+                         "cnt": pa.array(g.to_numpy().astype(np.int64))})
+
+    def fuse(t: pa.Table) -> pa.Table:
+        h = hash_columns(t.column(key), t.column("qb")).view(np.int64)
+        return t.append_column("_fk", pa.array(h))
+
+    def unfuse(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.equal(t.column(key), t.column("_kmax")),
+                     pc.equal(t.column("qb"), t.column("_qmax")))
+        return t.filter(ok).select([key, "qb", "cnt"])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(fuse, batch_format="pyarrow") \
+        .groupby("_fk").aggregate(
+            Min(key, alias_name=key), Min("qb", alias_name="qb"),
+            Max(key, alias_name="_kmax"), Max("qb", alias_name="_qmax"),
+            Sum("cnt", alias_name="cnt")) \
+        .map_batches(unfuse, batch_format="pyarrow")
+
+    q_names = [f"p{round(q * 100) if (q * 100) == int(q * 100) else q}"
+               for q in qs]
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("qb")
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        kb = g["qb"].to_numpy()
+        row = {key: [g[key].iloc[0]]}
+        for q, name in zip(qs, q_names):
+            rank = min(max(int(np.ceil(q * n)), 1), n)
+            row[name] = [representative(kb[int(np.searchsorted(cum, rank))])]
+        return pd.DataFrame(row)
+
+    return hist.groupby(key).map_groups(walk)
+
+
+def grouped_approx_quantile(ds, key: str, col: str, qs: list[float],
+                            alpha: float = 0.01):
+    """Per-group DDSketch quantiles (one row per key, one ``p<q>``
+    column per requested quantile) — same relative-error guarantee and
+    layout independence as ``approx_quantile``, with the shuffle
+    carrying O(keys x buckets) scalar partials."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return _grouped_quantile(
+        ds, key, col, qs, bucketer=lambda x: _dd_keys(x, gamma),
+        representative=lambda k: float(
+            _dd_value(np.array([k], dtype=np.int64), gamma)[0]))
+
+
+def grouped_exact_quantile(ds, key: str, col: str, qs: list[float]):
+    """Per-group EXACT nearest-rank quantiles (DuckDB
+    ``quantile_disc(col, q) GROUP BY key`` semantics) via per-group
+    value counts — for bounded-cardinality measure columns."""
+    return _grouped_quantile(ds, key, col, qs,
+                             bucketer=lambda x: x,
+                             representative=float)
