@@ -302,3 +302,98 @@ def grouped_exact_quantile(ds, key: str, col: str, qs: list[float]):
     return _grouped_quantile(ds, key, col, qs,
                              bucketer=lambda x: x,
                              representative=float)
+
+
+# ------------------------------------- approx top-k (Misra-Gries)
+
+
+def approx_topk(ds, col: str, k: int, capacity: int | None = None,
+                candidates: int | None = None):
+    """Heavy hitters over astronomically-many distinct keys (n-grams,
+    URLs) with BOUNDED shuffle: the exact ``topk`` path ships one row
+    per (distinct key x block); this ships at most ``capacity`` rows
+    per block, whatever the key cardinality.
+
+    Plan (Misra-Gries summaries, mergeable per Agarwal et al. 2012):
+    per-batch exact counts compress to <= capacity (key, est) rows by
+    subtracting the (capacity+1)-th largest count (per-key undercount
+    <= that subtrahend, summed into a scalar bound E); one
+    groupby(key).sum merges summaries; the top ``candidates`` keys by
+    estimate are recounted EXACTLY in a second broadcast-filtered
+    pass. Certificate: if the k-th exact count >= best non-candidate
+    estimate + E, no excluded key can belong to the true top-k and the
+    result is PROVABLY the exact top-k; otherwise a warning logs the
+    gap (no silent caps) — raise ``capacity`` and rerun.
+
+    Returns (pa.Table with [col, "count"] sorted desc, certified:
+    bool, bound E)."""
+    import logging
+
+    capacity = capacity or max(8 * k, 1024)
+    n_cand = candidates or max(2 * k, k + 16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            t.column(col).to_numpy(zero_copy_only=False), return_counts=True)
+        if len(vals) > capacity:
+            # subtract the (capacity+1)-th largest; keep the positive
+            cut = np.partition(counts, -capacity - 1)[-capacity - 1]
+            keep = counts > cut
+            vals, counts, sub = vals[keep], counts[keep] - cut, int(cut)
+        else:
+            sub = 0
+        out = pa.table({col: pa.array(vals),
+                        "est": pa.array(counts.astype(np.int64)),
+                        "sub": pa.array(np.full(len(vals), 0, np.int64))})
+        # the undercount bound rides as one extra row per batch (null
+        # key) so ONE shuffle carries both summaries and bounds
+        bound = pa.table({col: pa.array([None], out.column(col).type),
+                          "est": pa.array([0], pa.int64()),
+                          "sub": pa.array([sub], pa.int64())})
+        return pa.concat_tables([out, bound])
+
+    # partials are scalar (key, est, sub) rows bounded by
+    # (capacity+1) x blocks — materialize once, then split the bound
+    # rows (null key) out BEFORE the groupby so the shuffle never
+    # sorts null keys
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def summaries(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(col))).select([col, "est"])
+
+    def bounds(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column(col))).select(["sub"])
+
+    e_bound = int(sum(
+        b.column("sub").to_numpy().sum() for b in
+        parts.map_batches(bounds, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if len(b)))
+    top = parts.map_batches(summaries, batch_format="pyarrow") \
+        .groupby(col).sum("est").rename_columns({"sum(est)": "est"}) \
+        .sort("est", descending=True).limit(n_cand + 1).take_all()
+    cands = top[:n_cand]
+    cand_keys = np.array([r[col] for r in cands])
+    runner_up_est = int(top[n_cand]["est"]) if len(top) > n_cand else 0
+
+    def recount(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False)
+        m = np.isin(x, cand_keys)
+        vals, counts = np.unique(x[m], return_counts=True)
+        return pa.table({col: pa.array(vals),
+                         "count": pa.array(counts.astype(np.int64))})
+
+    exact = ds.map_batches(recount, batch_format="pyarrow") \
+        .groupby(col).sum("count").rename_columns({"sum(count)": "count"}) \
+        .sort("count", descending=True).limit(k).take_all()
+    table = pa.table({
+        col: pa.array([r[col] for r in exact]),
+        "count": pa.array([int(r["count"]) for r in exact], pa.int64()),
+    })
+    kth = int(exact[-1]["count"]) if len(exact) >= k else 0
+    certified = len(exact) >= k and kth >= runner_up_est + e_bound
+    if not certified:
+        logging.getLogger(__name__).warning(
+            "approx_topk NOT certified exact: kth exact count %d < best "
+            "excluded estimate %d + undercount bound %d — raise capacity",
+            kth, runner_up_est, e_bound)
+    return table, certified, e_bound
