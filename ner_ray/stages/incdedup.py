@@ -239,6 +239,9 @@ def dedup_against_index(new_ds, index_dir: str, *,
     root = index_dir.rstrip("/")
 
     if self_dedup:
+        # the exact pass stays even under minhash: LSH banding skips
+        # zero-shingle (short) docs, so identical short docs would
+        # otherwise survive the near-dup self-dedup
         new_ds = exact_dedup_docs(new_ds, text_col=text_col, id_col=id_col,
                                   materialize=materialize)
         if m["method"] == "minhash":
