@@ -28,13 +28,23 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ner_ray.functions.aggregates import _hll_estimate, _hll_partial
+from ner_ray.functions.aggregates import (
+    _dd_keys,
+    _dd_value,
+    _hll_estimate,
+    _hll_partial,
+)
+
+# DDSketch accuracy for the profile quantiles: 1% relative error
+_DD_ALPHA = 0.01
+_DD_GAMMA = (1.0 + _DD_ALPHA) / (1.0 - _DD_ALPHA)
 
 _PARTIAL_SCHEMA = pa.schema([
     ("column", pa.string()),
     ("count", pa.int64()),
     ("nulls", pa.int64()),
     ("regs", pa.binary()),        # HLL registers; b"" = not sketchable
+    ("ddhist", pa.binary()),      # DDSketch (key,count) pairs; b"" = n/a
     ("num_min", pa.float64()),
     ("num_max", pa.float64()),
     ("num_sum", pa.float64()),
@@ -51,6 +61,9 @@ _PROFILE_SCHEMA = pa.schema([
     ("num_max", pa.float64()),
     ("num_sum", pa.float64()),
     ("num_mean", pa.float64()),
+    ("p50", pa.float64()),
+    ("p95", pa.float64()),
+    ("p99", pa.float64()),
     ("str_min", pa.string()),
     ("str_max", pa.string()),
 ])
@@ -66,8 +79,8 @@ def _column_partial(name: str, col: pa.ChunkedArray) -> dict:
     n = len(col)
     nulls = col.null_count
     row = {"column": name, "count": n, "nulls": nulls, "regs": b"",
-           "num_min": None, "num_max": None, "num_sum": None,
-           "str_min": None, "str_max": None}
+           "ddhist": b"", "num_min": None, "num_max": None,
+           "num_sum": None, "str_min": None, "str_max": None}
     valid = col.drop_null() if nulls else col
     if len(valid) == 0:
         return row
@@ -78,6 +91,12 @@ def _column_partial(name: str, col: pa.ChunkedArray) -> dict:
         row["num_max"] = mm["max"].as_py()
         row["num_sum"] = pc.sum(f).as_py()
         row["regs"] = _hll_partial(valid).tobytes()
+        x = f.to_numpy(zero_copy_only=False)
+        x = x[np.isfinite(x)]
+        if len(x):
+            keys, counts = np.unique(_dd_keys(x, _DD_GAMMA),
+                                     return_counts=True)
+            row["ddhist"] = keys.tobytes() + counts.astype(np.int64).tobytes()
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         mm = pc.min_max(valid)
         row["str_min"] = mm["min"].as_py()
@@ -112,6 +131,24 @@ def _merge_group(g: pa.Table) -> pa.Table:
     distinct = (int(round(_hll_estimate(merged)))
                 if merged is not None else None)
 
+    # merge DDSketch histograms (additive counts) and walk quantiles
+    hist: dict[int, int] = {}
+    for buf in g.column("ddhist").to_pylist():
+        if buf:
+            arr = np.frombuffer(buf, dtype=np.int64)
+            half = len(arr) // 2
+            for k, c in zip(arr[:half], arr[half:]):
+                hist[int(k)] = hist.get(int(k), 0) + int(c)
+    quants = {"p50": None, "p95": None, "p99": None}
+    if hist:
+        keys = np.array(sorted(hist), dtype=np.int64)
+        cum = np.cumsum([hist[int(k)] for k in keys])
+        n_fin = int(cum[-1])
+        for name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            rank = min(max(int(np.ceil(q * n_fin)), 1), n_fin)
+            i = int(np.searchsorted(cum, rank))
+            quants[name] = float(_dd_value(keys[i:i + 1], _DD_GAMMA)[0])
+
     def agg(colname, fn):
         vals = g.column(colname).drop_null()
         return fn(vals).as_py() if len(vals) else None
@@ -125,6 +162,7 @@ def _merge_group(g: pa.Table) -> pa.Table:
         "num_max": agg("num_max", pc.max),
         "num_sum": num_sum,
         "num_mean": (num_sum / nn) if num_sum is not None and nn else None,
+        **quants,
         "str_min": agg("str_min", pc.min),
         "str_max": agg("str_max", pc.max),
     }
@@ -134,8 +172,9 @@ def _merge_group(g: pa.Table) -> pa.Table:
 def profile_columns(ds, columns: list[str] | None = None):
     """Dataset -> Dataset with one profile row per column (schema:
     column, count, nulls, approx_distinct, num_min/max/sum/mean,
-    str_min/max). ONE streaming pass; partials are O(columns) scalar
-    rows + a 4 KiB HLL block per batch."""
+    p50/p95/p99 (DDSketch, 1% relative error), str_min/max). ONE
+    streaming pass; partials are O(columns) scalar rows + a 4 KiB HLL
+    block + an O(log range / alpha) histogram blob per batch."""
     partials = ds.map_batches(
         lambda t: _batch_partials(t, columns), batch_format="pyarrow")
     return partials.groupby("column").map_groups(

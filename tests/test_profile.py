@@ -103,3 +103,25 @@ def test_profile_is_single_pass_partials(ray_session):
     p = _batch_partials(t, None)
     assert len(p) == 3
     assert p.column("regs")[0].as_py() != b""
+
+
+def test_profile_quantiles_within_relative_error(ray_session):
+    """p50/p95/p99 are DDSketch estimates: within 1% relative error of
+    DuckDB's exact quantile_disc; null for non-numeric columns."""
+    import duckdb
+
+    import ray.data as rd
+
+    from ner_ray.stages.profile import profile_table
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    prof = profile_table(
+        rd.read_parquet(path, columns=["l_extendedprice", "l_returnflag"]))
+    rows = {r["column"]: r for r in prof.to_pylist()}
+    for name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        true = duckdb.sql(
+            f"SELECT quantile_disc(l_extendedprice, {q}) FROM '{path}'"
+        ).fetchone()[0]
+        est = rows["l_extendedprice"][name]
+        assert abs(est - true) <= 0.0101 * abs(true), (name, est, true)
+    assert rows["l_returnflag"]["p50"] is None
