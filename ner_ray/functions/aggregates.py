@@ -397,3 +397,31 @@ def approx_topk(ds, col: str, k: int, capacity: int | None = None,
             "excluded estimate %d + undercount bound %d — raise capacity",
             kth, runner_up_est, e_bound)
     return table, certified, e_bound
+
+
+def grouped_approx_distinct(ds, key: str, col: str):
+    """Per-group approx count-distinct: one mergeable HLL register
+    block per key per batch (4 KiB each — shuffle payload is
+    O(keys x blocks), never values), merged per key in map_groups.
+    HLL merge is a register-wise max, so results are exactly
+    layout/retry independent. Returns (key, approx_distinct)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": t.column(key).to_pandas(),
+                           "v": t.column(col).to_pandas()})
+        df = df[df["v"].notna()]
+        keys, blobs = [], []
+        for k, sub in df.groupby("k", sort=False):
+            keys.append(k)
+            blobs.append(_hll_partial(sub["v"]).tobytes())
+        return pa.table({key: pa.array(keys),
+                         "regs": pa.array(blobs, pa.binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.frombuffer(b"".join(g["regs"]), dtype=np.uint8) \
+            .reshape(len(g), -1).max(axis=0)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "approx_distinct":
+                             [int(round(_hll_estimate(regs)))]})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).map_groups(merge, batch_format="pandas")

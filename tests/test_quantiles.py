@@ -76,3 +76,30 @@ def test_exact_quantile_nulls_ignored(ray_session):
 
     t = pa.table({"v": pa.array([3.0, None, 1.0, None, 2.0])})
     assert exact_quantile(rd.from_arrow(t), "v", [0.5]) == [2.0]
+
+
+def test_grouped_approx_distinct(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ner_ray.functions.aggregates import grouped_approx_distinct
+
+    rng = np.random.default_rng(9)
+    t = pa.table({"g": rng.choice(["x", "y"], 50_000),
+                  "v": rng.integers(0, 8_000, 50_000)})
+    out = {r["g"]: r["approx_distinct"]
+           for r in grouped_approx_distinct(
+               rd.from_arrow(t).repartition(7), "g", "v").take_all()}
+    import pandas as pd
+
+    df = t.to_pandas()
+    for g, sub in df.groupby("g"):
+        true = sub["v"].nunique()
+        assert abs(out[g] - true) / true < 0.05, (g, out[g], true)
+
+    # register-wise-max merge => layout independent, bit-exact
+    out2 = {r["g"]: r["approx_distinct"]
+            for r in grouped_approx_distinct(
+                rd.from_arrow(t).repartition(1), "g", "v").take_all()}
+    assert out == out2
