@@ -52,6 +52,7 @@ from __future__ import annotations
 import logging
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -588,3 +589,112 @@ def k_core(edges_ds, k: int, max_rounds: int = 100):
             .materialize()
     raise RuntimeError(
         f"k_core did not converge in {max_rounds} rounds (k={k})")
+
+
+# ------------------------------------------- label propagation (LPA)
+
+
+def label_propagation(edges_ds, max_rounds: int = 20,
+                      num_buckets: int | None = None,
+                      a_col: str = "a", b_col: str = "b"):
+    """Community detection by DETERMINISTIC synchronous label
+    propagation (Raghavan et al. 2007, made reproducible): every node
+    starts labeled with its own id; each round a node adopts the most
+    frequent label among its neighbors plus ONE self-vote for its
+    current label, ties broken by minimum label. Synchronous updates +
+    total tie order make the result independent of layout, retries and
+    cluster size (asynchronous LPA is not).
+
+    Fully distributed — per round: one grouped join (edges x labels),
+    one fused-key (node, label) vote count (scalar pairs only), one
+    per-node argmax in map_groups, one change-count join. Stops when
+    no label changes; a non-converged run WARNS at ``max_rounds``
+    (LPA can oscillate on bipartite structures — the result is still
+    a valid labeling, communities are heuristic).
+
+    Returns Dataset[(node, community)]; nodes cast to string (the
+    connected_components convention). Isolated nodes are absent."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ner_ray.util.hashing import hash_columns
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).cast(pa.string())
+        b = t.column(b_col).cast(pa.string())
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(),
+                                     b.combine_chunks()]),
+            "dst": pa.concat_arrays([b.combine_chunks(),
+                                     a.combine_chunks()]),
+        })
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    if num_buckets is None:
+        num_buckets = _auto_buckets(edges)
+
+    labels = edges.map_batches(
+        lambda t: _partial_counts(pa.table({"node": t.column("src")}),
+                                  "node"),
+        batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("n", alias_name="_n")) \
+        .map_batches(lambda t: pa.table({"node": t.column("node"),
+                                         "label": t.column("node")}),
+                     batch_format="pyarrow").materialize()
+
+    types = {"src": _S, "dst": _S, "node": _S, "label": _S,
+             "new_label": _S}
+
+    def precount(t: pa.Table) -> pa.Table:
+        # per-batch (node, label) vote reduction; "own" tags the
+        # self-vote so pick() can see the OLD label and emit a changed
+        # flag — no separate old-vs-new join per round
+        g = t.group_by(["node", "label"]).aggregate(
+            [("own", "count"), ("own", "max")])
+        return g.select(["node", "label", "own_count", "own_max"]) \
+            .rename_columns(["node", "label", "n", "own"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        # final vote merge + argmax fused in ONE per-node group (each
+        # node's candidate labels are bounded by its degree)
+        c = g.groupby("label", sort=False).agg(
+            n=("n", "sum"), own=("own", "max")).reset_index()
+        c = c.sort_values(["n", "label"], ascending=[False, True],
+                          kind="stable")
+        new = c["label"].iloc[0]
+        old_rows = c.loc[c["own"] == 1, "label"]
+        old = old_rows.iloc[0] if len(old_rows) else None
+        return pd.DataFrame({"node": [g["node"].iloc[0]], "label": [new],
+                             "_chg": [int(new != old)]})
+
+    def tag(own: int):
+        def fn(t: pa.Table) -> pa.Table:
+            node = t.column("dst" if not own else "node")
+            label = t.column("label")
+            return pa.table({"node": node, "label": label,
+                             "own": pa.array(
+                                 np.full(len(t), own, np.int64))})
+
+        return fn
+
+    converged = False
+    for _ in range(max_rounds):
+        nbr_votes = grouped_join(
+            edges, labels, "src", "node", ["src", "dst"],
+            ["node", "label"], types, num_buckets=num_buckets) \
+            .map_batches(tag(0), batch_format="pyarrow")
+        new_labels = nbr_votes.union(
+            labels.map_batches(tag(1), batch_format="pyarrow")) \
+            .map_batches(precount, batch_format="pyarrow") \
+            .groupby("node").map_groups(pick, batch_format="pandas") \
+            .materialize()
+        changed = int(new_labels.sum("_chg") or 0)
+        labels = new_labels.select_columns(["node", "label"])
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        logger.warning("label_propagation: no fixpoint after %d rounds — "
+                     "returning the current (valid) labeling", max_rounds)
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "community"]),
+        batch_format="pyarrow")
