@@ -24,51 +24,48 @@ def partial_final_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
 
     mean is decomposed into sum+count partials and finalized in a last
     map (algebraic decomposition — the classic combiner trick).
-    """
+    Identical (col, fn) partials are computed ONCE and shared across
+    outputs (pyarrow names group_by outputs "{col}_{fn}", so duplicate
+    requests — e.g. mean + count of one column — would otherwise
+    collide)."""
     from ray.data.aggregate import Max, Min, Sum
 
-    partial_specs = []   # (col, pa_fn, tmp_name)
+    needed: dict[tuple[str, str], str] = {}   # (col, pa_fn) -> tmp name
     for col, fn, out in aggs:
-        if fn == "mean":
-            partial_specs.append((col, "sum", f"__{out}_sum"))
-            partial_specs.append((col, "count", f"__{out}_cnt"))
-        else:
-            partial_specs.append((col, fn, out))
+        for f in (("sum", "count") if fn == "mean" else (fn,)):
+            needed.setdefault((col, f), f"__p_{col}_{f}")
 
     def partial(t: pa.Table) -> pa.Table:
-        cols = keys + sorted({c for c, _f, _n in partial_specs})
+        cols = keys + sorted({c for c, _f in needed})
         g = t.select(list(dict.fromkeys(cols))).group_by(keys).aggregate(
-            [(c, f) for c, f, _n in partial_specs]
-        )
-        # pyarrow names output "{col}_{fn}"
-        rename = {f"{c}_{f}": n for c, f, n in partial_specs}
+            sorted(needed))
+        rename = {f"{c}_{f}": n for (c, f), n in needed.items()}
         names = [rename.get(nm, nm) for nm in g.column_names]
         return g.rename_columns(names)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     final_aggs = []
-    for _c, f, n in partial_specs:
+    for (c, f), n in sorted(needed.items()):
         # count partials merge by summation; the others by themselves
         agg_cls = {"sum": Sum, "count": Sum, "min": Min, "max": Max}[f]
         final_aggs.append(agg_cls(n, alias_name=n))
     out_ds = partials.groupby(keys).aggregate(*final_aggs)
 
-    mean_outs = [(out, f"__{out}_sum", f"__{out}_cnt")
-                 for col, fn, out in aggs if fn == "mean"]
-    if mean_outs:
-        def finalize(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-            for out, s, c in mean_outs:
-                t = t.append_column(
-                    out, pc.divide(pc.cast(t.column(s), pa.float64()),
-                                   pc.cast(t.column(c), pa.float64())))
-                t = t.drop_columns([s, c])
-            return t
+        for col, fn, out in aggs:
+            if fn == "mean":
+                t = t.append_column(out, pc.divide(
+                    pc.cast(t.column(needed[(col, "sum")]), pa.float64()),
+                    pc.cast(t.column(needed[(col, "count")]),
+                            pa.float64())))
+            else:
+                t = t.append_column(out, t.column(needed[(col, fn)]))
+        return t.select(keys + [a[2] for a in aggs])
 
-        out_ds = out_ds.map_batches(finalize, batch_format="pyarrow")
-    return out_ds
+    return out_ds.map_batches(finalize, batch_format="pyarrow")
 
 
 def topk(ds, by: list[str], k: int, descending=True):
@@ -425,3 +422,62 @@ def grouped_approx_distinct(ds, key: str, col: str):
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+               grouping_id: str = "grouping_id", cube: bool = False):
+    """GROUP BY ROLLUP / CUBE: one partial+final aggregation per
+    grouping set, unioned, with dropped keys null-filled and a
+    ``grouping_id`` bitmask column (DuckDB ``GROUPING(...)`` order:
+    bit i set = keys[i] aggregated away, MSB-first like DuckDB's
+    GROUPING(k1, k2)). ROLLUP emits the |keys|+1 prefix sets; CUBE
+    all 2^|keys| subsets. Each grouping set re-streams the input once
+    — at corpus scale prefer deriving coarser levels from the finest
+    aggregate when the measures are re-aggregable; this operator picks
+    correctness-for-any-agg (means can't re-aggregate) over pass
+    minimization and documents it."""
+    sets = []
+    if cube:
+        for mask in range(1 << len(keys)):
+            sets.append([k for i, k in enumerate(keys)
+                         if not (mask >> (len(keys) - 1 - i)) & 1])
+    else:
+        for depth in range(len(keys), -1, -1):
+            sets.append(keys[:depth])
+
+    outs = []
+    for subset in sets:
+        gid = sum(1 << (len(keys) - 1 - i)
+                  for i, k in enumerate(keys) if k not in subset)
+        if subset:
+            part = partial_final_agg(ds, subset, aggs)
+        else:
+            # global set: aggregate with a constant key, then drop it
+            const = ds.map_batches(
+                lambda t: t.append_column(
+                    "__all", pa.array(np.zeros(len(t), np.int8))),
+                batch_format="pyarrow")
+            part = partial_final_agg(const, ["__all"], aggs) \
+                .map_batches(lambda t: t.drop_columns(["__all"]),
+                             batch_format="pyarrow")
+
+        def fill(t: pa.Table, _subset=tuple(subset), _gid=gid) -> pa.Table:
+            # key columns surface as strings in EVERY grouping set so
+            # the union never schema-conflicts with the null-filled
+            # levels (int keys would promote against null strings)
+            for i, k in enumerate(keys):
+                if k not in _subset:
+                    t = t.append_column(k, pa.nulls(len(t), pa.string()))
+                else:
+                    t = t.set_column(t.column_names.index(k), k,
+                                     t.column(k).cast(pa.string()))
+            t = t.append_column(grouping_id,
+                                pa.array(np.full(len(t), _gid, np.int64)))
+            return t.select(keys + [a[2] for a in aggs] + [grouping_id])
+
+        outs.append(part.map_batches(fill, batch_format="pyarrow"))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
