@@ -481,3 +481,37 @@ def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def pivot_agg(ds, group_key: str, pivot_col: str, value_col: str,
+              fn: str = "sum", max_pivot_values: int = 1000):
+    """PIVOT: grouped aggregation reshaped wide — one output column
+    per DISTINCT pivot value (sorted, stringified names, DuckDB PIVOT
+    convention). The long-form aggregate is fully distributed
+    (partial+final over (group, pivot) pairs); only the reshape of the
+    already-aggregated result happens per group-key row. Pivot-value
+    cardinality becomes the output WIDTH, so it must be driver-sized:
+    more than ``max_pivot_values`` distinct values RAISES (a
+    million-column table is a modeling error, not a scale problem)."""
+    long = partial_final_agg(ds, [group_key, pivot_col],
+                             [(value_col, fn, "_v")]).materialize()
+    pvals = sorted({str(r[pivot_col]) for b in
+                    long.select_columns([pivot_col])
+                    .iter_batches(batch_format="pyarrow")
+                    for r in b.to_pylist()},
+                   key=lambda r: r)
+    if len(pvals) > max_pivot_values:
+        raise ValueError(
+            f"pivot_col {pivot_col!r} has {len(pvals)} distinct values "
+            f"> max_pivot_values={max_pivot_values}; pivot output width "
+            "must stay driver-sized")
+
+    def reshape(g: pd.DataFrame) -> pd.DataFrame:
+        row = {group_key: [g[group_key].iloc[0]]}
+        by = dict(zip(g[pivot_col].astype(str), g["_v"]))
+        for p in pvals:
+            row[p] = [by.get(p)]
+        return pd.DataFrame(row)
+
+    return long.groupby(group_key).map_groups(reshape,
+                                              batch_format="pandas")
