@@ -48,6 +48,7 @@ _PARTIAL_SCHEMA = pa.schema([
     ("num_min", pa.float64()),
     ("num_max", pa.float64()),
     ("num_sum", pa.float64()),
+    ("num_sumsq", pa.float64()),
     ("str_min", pa.string()),
     ("str_max", pa.string()),
 ])
@@ -61,6 +62,7 @@ _PROFILE_SCHEMA = pa.schema([
     ("num_max", pa.float64()),
     ("num_sum", pa.float64()),
     ("num_mean", pa.float64()),
+    ("num_std", pa.float64()),
     ("p50", pa.float64()),
     ("p95", pa.float64()),
     ("p99", pa.float64()),
@@ -80,7 +82,8 @@ def _column_partial(name: str, col: pa.ChunkedArray) -> dict:
     nulls = col.null_count
     row = {"column": name, "count": n, "nulls": nulls, "regs": b"",
            "ddhist": b"", "num_min": None, "num_max": None,
-           "num_sum": None, "str_min": None, "str_max": None}
+           "num_sum": None, "num_sumsq": None,
+           "str_min": None, "str_max": None}
     valid = col.drop_null() if nulls else col
     if len(valid) == 0:
         return row
@@ -90,6 +93,7 @@ def _column_partial(name: str, col: pa.ChunkedArray) -> dict:
         row["num_min"] = mm["min"].as_py()
         row["num_max"] = mm["max"].as_py()
         row["num_sum"] = pc.sum(f).as_py()
+        row["num_sumsq"] = pc.sum(pc.multiply(f, f)).as_py()
         row["regs"] = _hll_partial(valid).tobytes()
         x = f.to_numpy(zero_copy_only=False)
         x = x[np.isfinite(x)]
@@ -154,6 +158,7 @@ def _merge_group(g: pa.Table) -> pa.Table:
         return fn(vals).as_py() if len(vals) else None
 
     num_sum = agg("num_sum", pc.sum)
+    num_sumsq = agg("num_sumsq", pc.sum)
     nn = count - nulls
     row = {
         "column": g.column("column")[0].as_py(),
@@ -162,6 +167,11 @@ def _merge_group(g: pa.Table) -> pa.Table:
         "num_max": agg("num_max", pc.max),
         "num_sum": num_sum,
         "num_mean": (num_sum / nn) if num_sum is not None and nn else None,
+        # population stddev (DuckDB stddev_pop); the sum-of-squares
+        # identity loses precision when std << mean — documented
+        "num_std": (float(np.sqrt(max(0.0, num_sumsq / nn
+                                      - (num_sum / nn) ** 2)))
+                    if num_sumsq is not None and nn else None),
         **quants,
         "str_min": agg("str_min", pc.min),
         "str_max": agg("str_max", pc.max),

@@ -125,3 +125,18 @@ def test_profile_quantiles_within_relative_error(ray_session):
         est = rows["l_extendedprice"][name]
         assert abs(est - true) <= 0.0101 * abs(true), (name, est, true)
     assert rows["l_returnflag"]["p50"] is None
+
+
+def test_profile_stddev_matches_duckdb(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from ner_ray.stages.profile import profile_table
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    prof = profile_table(rd.read_parquet(path, columns=["l_quantity"]))
+    got = prof.to_pylist()[0]["num_std"]
+    want = duckdb.sql(
+        f"SELECT stddev_pop(l_quantity) FROM '{path}'").fetchone()[0]
+    assert abs(got - want) / want < 1e-9
