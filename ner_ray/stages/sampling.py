@@ -190,3 +190,42 @@ def downsample_to_token_budget(ds, budget_tokens, text_col: str = "text",
                       else min(1.0, b / total))
     return stratified_sample(ds, fracs, key_col=key_col, id_col=id_col,
                              seed=seed, default_fraction=1.0), fracs
+
+
+def split_by_hash(ds, fractions: dict, id_col: str = "doc_id",
+                  seed: int = 42) -> dict:
+    """Deterministic disjoint-exhaustive dataset split (train/val/test).
+
+    Each row lands in exactly ONE split: the named interval of [0, 1)
+    its id-hash uniform falls in (fractions must sum to 1). Pure
+    function of (id, seed) — identical membership on any cluster
+    size / block layout / retry, and stratification is free: within
+    every domain the uniforms are uniform, so per-domain proportions
+    match the global fractions in expectation without a shuffle.
+    Invariant (tested): the FIRST split equals ``hash_sample`` at the
+    same fraction and seed, so a split's train set is consistent with
+    samples drawn elsewhere in a pipeline.
+
+    Returns {name: Dataset}; each split is a lazy map-only filter over
+    ``ds`` — materialize upstream first if re-execution is costly.
+    """
+    names = list(fractions)
+    vals = np.array([float(fractions[n]) for n in names])
+    if len(names) < 2 or (vals < 0).any() or abs(vals.sum() - 1.0) > 1e-9:
+        raise ValueError(
+            f"need >= 2 non-negative fractions summing to 1: {fractions}")
+    cuts = np.cumsum(vals)
+    cuts[-1] = 1.0  # close the last interval against float drift
+    lows = np.concatenate([[0.0], cuts[:-1]])
+
+    def make(lo: float, hi: float):
+        def keep(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            u = _uniform01(t.column(id_col), seed)
+            return t.filter(pa.array((u >= lo) & (u < hi)))
+
+        return keep
+
+    return {name: ds.map_batches(make(lo, hi), batch_format="pyarrow")
+            for name, lo, hi in zip(names, lows, cuts)}
