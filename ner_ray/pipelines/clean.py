@@ -103,6 +103,7 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                  near_dup_method: str | None = None,
                  near_dup_kwargs: dict | None = None,
                  decontaminate_against=None, decontam_n: int = 13,
+                 normalize: str | None = None,
                  materialize: bool = True,
                  checkpoint=None, docs_fp: str = "", eval_fp: str = "",
                  fail_after: str = "",
@@ -121,6 +122,11 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
       surviving doc sharing a ``decontam_n``-word n-gram with the eval
       set — LAST, so the (expensive) n-gram scan runs over the already
       deduped corpus; map-only broadcast path (stages/decontam.py);
+    * ``normalize`` ("NFC"/"NFKC"/...) runs stages/normalize.py's text
+      normalization FIRST, so composed-vs-decomposed and whitespace
+      variants of identical text collapse onto one dedup key; it is a
+      map-only pass that fuses into the filter's streaming scan
+      (default None keeps byte-exact semantics);
     * ``materialize=False`` is the re-read mode for corpora near
       cluster memory: no stage output pins in the object store — each
       multi-pass consumer re-executes its upstream instead (mirrors
@@ -170,7 +176,14 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
     if return_stats:
         stats["docs_in"] = docs_ds.count()
 
-    cfg_filter = (f"{text_col}|{id_col}|{min_words}|{min_mean_word_len}"
+    if normalize is not None:
+        from ner_ray.stages.normalize import normalize_text
+
+        docs_ds = normalize_text(docs_ds, text_col=text_col,
+                                 form=normalize)
+
+    cfg_filter = (f"{normalize}|"
+                  f"{text_col}|{id_col}|{min_words}|{min_mean_word_len}"
                   f"|{max_mean_word_len}|{min_uniq_ratio}"
                   f"|{sorted(langs) if langs else None}|{min_lang_score}"
                   f"|{max_top2gram_frac}|{max_dup5gram_frac}")

@@ -63,3 +63,21 @@ def test_out_col_preserves_original(ray_session):
     df = _run(rd.from_arrow(t), lowercase=True, out_col="norm")
     assert df["text"].tolist() == ["A  B"]
     assert df["norm"].tolist() == ["a b"]
+
+
+def test_clean_corpus_normalize_collapses_unicode_dups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ner_ray.pipelines.clean import clean_corpus
+
+    base = "the quick brown fox jumps over the lazy dog near a caf"
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": [base + "é", base + "é",
+                           "an entirely different english document here"]})
+    kw = dict(min_words=1, min_uniq_ratio=0.0, langs=None)
+    plain = clean_corpus(rd.from_arrow(t), **kw).to_pandas()
+    assert len(plain) == 3  # byte-distinct -> both unicode variants kept
+    normed = clean_corpus(rd.from_arrow(t), normalize="NFC",
+                          **kw).to_pandas()
+    assert sorted(normed["doc_id"]) == [1, 3]  # min-id survivor wins
