@@ -45,6 +45,14 @@ def main() -> None:
     ap.add_argument("--eval", default="", help="eval parquet to "
                     "decontaminate against (text column)")
     ap.add_argument("--decontam-n", type=int, default=13)
+    ap.add_argument("--normalize", default="",
+                    choices=["", "NFC", "NFD", "NFKC", "NFKD"],
+                    help="Unicode-normalize text before filtering/dedup "
+                    "keying (empty = byte-exact semantics)")
+    ap.add_argument("--no-materialize", action="store_true",
+                    help="re-read mode: re-execute upstream per consumer "
+                    "instead of pinning stage outputs (corpora near "
+                    "cluster memory)")
     ap.add_argument("--n-buckets", type=int, default=8,
                     help="output partition count")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -94,6 +102,8 @@ def main() -> None:
                 near_dup_kwargs=near_kwargs,
                 decontaminate_against=eval_ds,
                 decontam_n=args.decontam_n,
+                normalize=args.normalize or None,
+                materialize=not args.no_materialize,
                 checkpoint=cm, docs_fp=input_fingerprint(args.docs),
                 eval_fp=eval_fp, fail_after=args.fail_after,
                 return_stats=True)
