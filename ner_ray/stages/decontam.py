@@ -149,6 +149,145 @@ def contamination_report(docs_ds, eval_ds=None, n: int = 13,
     return docs_ds.map_batches(report, batch_format="pyarrow")
 
 
+# eval embedding matrices above this row count must be sharded by the
+# caller (at 768 float32 dims the cap is ~6 GB broadcast — already far
+# beyond any benchmark suite); raising beats silently degrading recall
+MAX_EVAL_EMBEDDINGS = 2_000_000
+
+
+def _eval_matrix(eval_ds, emb_col: str, max_rows: int) -> np.ndarray:
+    """Collect + L2-normalize the eval embedding matrix (driver-sized
+    by contract: benchmark suites are thousands of rows against a
+    100-TB corpus). Row count is enforced, not truncated."""
+    from ner_ray.stages.similarity import _normalize, _to_matrix
+
+    mats, total = [], 0
+    for b in eval_ds.select_columns([emb_col]) \
+            .iter_batches(batch_format="pyarrow"):
+        if len(b) == 0:
+            continue
+        total += len(b)
+        if total > max_rows:
+            raise ValueError(
+                f"eval set exceeds max_eval_rows={max_rows}; shard the "
+                "eval set and intersect survivor ids across shards")
+        mats.append(_to_matrix(b.column(emb_col)))
+    if not mats:
+        return np.zeros((0, 1))
+    return _normalize(np.vstack(mats))
+
+
+def semantic_decontaminate(train_ds, eval_ds=None, tau: float = 0.95,
+                           emb_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           eval_emb_col: str | None = None,
+                           eval_matrix: np.ndarray | None = None,
+                           max_eval_rows: int = MAX_EVAL_EMBEDDINGS,
+                           eval_chunk: int = 8192):
+    """Embedding-level decontamination: drop every training row whose
+    cosine similarity against ANY eval embedding is >= ``tau`` — the
+    semantic complement of the n-gram ``decontaminate`` (catches
+    paraphrased/reformatted eval leakage that shares no 13-gram).
+
+    Scale shape mirrors ``decontaminate``'s broadcast path: the eval
+    matrix is normalized once, ``ray.put`` once, and the corpus streams
+    through ONE map-only filter — no shuffle, nothing corpus-sized ever
+    materializes. Per batch the matmul runs in ``eval_chunk``-column
+    slabs with a running max, so peak memory is O(batch x chunk)
+    however large the eval suite. Pass ``eval_matrix`` (already
+    normalized or raw) to reuse one collection across corpus shards.
+    """
+    import ray
+
+    from ner_ray.stages.similarity import _normalize, _to_matrix
+
+    if eval_matrix is None:
+        if eval_ds is None:
+            raise ValueError(
+                "semantic_decontaminate needs eval_ds or eval_matrix")
+        eval_matrix = _eval_matrix(eval_ds, eval_emb_col or emb_col,
+                                   max_eval_rows)
+    else:
+        eval_matrix = _normalize(
+            np.atleast_2d(np.asarray(eval_matrix, dtype=np.float64)))
+    if eval_matrix.shape[0] == 0:
+        return train_ds
+    ref = ray.put(np.ascontiguousarray(eval_matrix.T))  # (d, m)
+
+    def drop(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        et = ray.get(ref)
+        x = _normalize(_to_matrix(t.column(emb_col)))
+        if x.shape[1] != et.shape[0]:
+            raise ValueError(
+                f"embedding dim mismatch: train {x.shape[1]} vs "
+                f"eval {et.shape[0]}")
+        mx = np.full(len(t), -np.inf)
+        for lo in range(0, et.shape[1], eval_chunk):
+            np.maximum(mx, (x @ et[:, lo:lo + eval_chunk]).max(axis=1),
+                       out=mx)
+        return t.filter(pa.array(mx < tau))
+
+    return train_ds.map_batches(drop, batch_format="pyarrow")
+
+
+def semantic_contamination_report(train_ds, eval_ds=None,
+                                  tau: float = 0.95,
+                                  emb_col: str = "embedding",
+                                  id_col: str = "vec_id",
+                                  eval_emb_col: str | None = None,
+                                  eval_matrix: np.ndarray | None = None,
+                                  max_eval_rows: int = MAX_EVAL_EMBEDDINGS,
+                                  eval_chunk: int = 8192):
+    """Audit view of ``semantic_decontaminate``: one row per
+    CONTAMINATED training row with its max eval cosine (``max_sim``)
+    and the offending eval row's position in the collected eval matrix
+    (``eval_idx``, iteration order of the eval dataset). Broadcast
+    map-only; same normalization contract as the filter."""
+    import ray
+
+    from ner_ray.stages.similarity import _normalize, _to_matrix
+
+    if eval_matrix is None:
+        if eval_ds is None:
+            raise ValueError("semantic_contamination_report needs "
+                             "eval_ds or eval_matrix")
+        eval_matrix = _eval_matrix(eval_ds, eval_emb_col or emb_col,
+                                   max_eval_rows)
+    else:
+        eval_matrix = _normalize(
+            np.atleast_2d(np.asarray(eval_matrix, dtype=np.float64)))
+    ref = ray.put(np.ascontiguousarray(eval_matrix.T))
+
+    def report(t: pa.Table) -> pa.Table:
+        et = ray.get(ref)
+        if len(t) == 0 or et.shape[1] == 0:
+            return pa.table({
+                id_col: t.column(id_col).slice(0, 0),
+                "max_sim": pa.array([], pa.float64()),
+                "eval_idx": pa.array([], pa.int64()),
+            })
+        x = _normalize(_to_matrix(t.column(emb_col)))
+        mx = np.full(len(t), -np.inf)
+        arg = np.zeros(len(t), dtype=np.int64)
+        for lo in range(0, et.shape[1], eval_chunk):
+            sims = x @ et[:, lo:lo + eval_chunk]
+            loc = sims.argmax(axis=1)
+            val = sims[np.arange(len(t)), loc]
+            upd = val > mx
+            mx[upd] = val[upd]
+            arg[upd] = loc[upd] + lo
+        keep = mx >= tau
+        return pa.table({
+            id_col: t.column(id_col).filter(pa.array(keep)),
+            "max_sim": pa.array(mx[keep]),
+            "eval_idx": pa.array(arg[keep]),
+        })
+
+    return train_ds.map_batches(report, batch_format="pyarrow")
+
+
 def _decontaminate_bucketed(docs_ds, eval_hashes, n, text_col, id_col,
                             num_buckets):
     if num_buckets is None:
