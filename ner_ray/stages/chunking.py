@@ -75,3 +75,91 @@ def chunk_documents(docs_ds, max_tokens: int = 512, overlap: int = 0,
         })
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(docs_ds, max_tokens: int = 1024,
+                   num_shards: int | None = None, seed: int = 42,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   drop_last: bool = False):
+    """GPT-style sequence packing: concatenate documents into a token
+    stream and cut fixed ``max_tokens`` windows (documents may straddle
+    a boundary — the standard pre-training packing that wastes zero
+    tokens to padding, vs ``chunk_documents`` which never crosses doc
+    boundaries). One row per packed sequence:
+    ``(shard, seq_idx, text, n_tokens, n_docs)`` where ``n_docs``
+    counts the documents contributing tokens to the window.
+
+    Scale shape: a global concatenation order would serialize the
+    corpus, so the stream is sharded by the seed-stable id hash —
+    shard membership and within-shard order (by id) are pure functions
+    of (id, seed), making the packed output identical on any cluster
+    size / block layout / retry (Ray's ``random_shuffle`` or
+    input-order packing would not be). ONE groupby(shard) shuffle; each
+    shard packs itself vectorized (window arithmetic in numpy, one
+    C-level join per output row). The final short window per shard is
+    kept unless ``drop_last``. ``num_shards`` auto-sizes from input
+    bytes (~128 MiB of shard payload) when unset.
+    """
+    import pyarrow.compute as pc
+
+    from ner_ray.stages.neardup import _auto_buckets
+    from ner_ray.util.hashing import combine_hashes, hash_column, hash_str
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if num_shards is None:
+        num_shards = _auto_buckets(docs_ds)
+    sconst = np.uint64(hash_str(f"pack-seed:{seed}"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("_shard", pa.array([], pa.int64()))
+        h = combine_hashes(hash_column(t.column(id_col)),
+                           np.full(len(t), sconst, dtype=np.uint64))
+        return t.append_column(
+            "_shard", pa.array((h % np.uint64(num_shards))
+                               .astype(np.int64)))
+
+    def pack(g: pa.Table) -> pa.Table:
+        shard = g.column("_shard")[0].as_py()
+        order = pc.sort_indices(g.column(id_col))
+        txt = pc.fill_null(g.column(text_col).take(order), "").to_pandas()
+        words = txt.str.split()
+        lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        n_seq = total // max_tokens
+        rem = total - n_seq * max_tokens
+        if rem and not drop_last:
+            n_seq += 1
+        if n_seq == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "seq_idx": pa.array([], pa.int64()),
+                text_col: pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+            })
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words if len(w)]) \
+            if total else np.array([], dtype=object)
+        starts = np.arange(n_seq, dtype=np.int64) * max_tokens
+        ends = np.minimum(starts + max_tokens, total)
+        # contributing docs per window [s, e): nonempty docs with
+        # token-range start < e minus those fully before s (empty docs
+        # never count — they contribute no tokens)
+        nz = lens > 0
+        nz_ends = np.cumsum(lens)[nz]
+        nz_starts = nz_ends - lens[nz]
+        n_docs = (np.searchsorted(nz_starts, ends, side="left")
+                  - np.searchsorted(nz_ends, starts, side="right"))
+        texts = [" ".join(flat[s:e]) for s, e in zip(starts, ends)]
+        return pa.table({
+            "shard": pa.array(np.full(n_seq, shard, dtype=np.int64)),
+            "seq_idx": pa.array(np.arange(n_seq, dtype=np.int64)),
+            text_col: pa.array(texts, pa.string()),
+            "n_tokens": pa.array(ends - starts),
+            "n_docs": pa.array(n_docs),
+        })
+
+    return docs_ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_shard").map_groups(pack, batch_format="pyarrow")
