@@ -221,7 +221,7 @@ class BpeEncoder:
 
 def bpe_encode(ds, model: dict, text_col: str = "text",
                out_col: str = "bpe_tokens", lowercase: bool = False,
-               concurrency: int = 4):
+               concurrency=(1, 4)):
     """Append a list<string> BPE-token column. The model broadcasts
     once; encoding is a stateful actor-pool map (cache in __init__)."""
     import ray
