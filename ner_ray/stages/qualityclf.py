@@ -59,11 +59,16 @@ def fit_quality_classifier(pos_ds, neg_ds, text_col: str = "text",
                            num_buckets: int = DEFAULT_BUCKETS,
                            n: int = 2, epochs: int = 20,
                            lr: float = 0.5, l2: float = 1e-6,
-                           seed: int = 0) -> dict:
+                           seed: int = 0,
+                           pos_weight: float | None = None) -> dict:
     """Distributed full-batch logistic regression: label 1 = pos_ds,
     0 = neg_ds. Each epoch streams both datasets once, collecting
     per-batch (gradient, loss, count) partials; the driver runs Adam.
-    Returns {"w", "b", "num_buckets", "n", "loss_curve"}."""
+    ``pos_weight`` re-weights every positive example (the standard
+    class-balance fix when the positive corpus is tiny against the raw
+    crawl — pass n_neg/n_pos to calibrate scores around 0.5; default
+    1.0 keeps plain unweighted likelihood). Returns
+    {"w", "b", "num_buckets", "n", "loss_curve"}."""
     rng = np.random.default_rng(seed)
     w = rng.normal(scale=1e-3, size=num_buckets)
     bias = 0.0
@@ -72,23 +77,27 @@ def fit_quality_classifier(pos_ds, neg_ds, text_col: str = "text",
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     losses = []
 
+    omega = 1.0 if pos_weight is None else float(pos_weight)
+
     def partials(ds, label):
+        wt = omega if label == 1.0 else 1.0
+
         def grad(t: pa.Table) -> pa.Table:
             rows, buckets, vals = _batch_design(
                 t.column(text_col), num_buckets, n)
             nr = len(t)
             z = _margins(rows, buckets, vals, w, bias, nr)
             p = 1.0 / (1.0 + np.exp(-z))
-            err = p - label                      # dL/dz per doc
+            err = wt * (p - label)               # dL/dz per doc
             if len(buckets):
                 g = np.bincount(buckets, weights=vals * err[rows],
                                 minlength=num_buckets)
             else:
                 g = np.zeros(num_buckets)
-            loss = float(np.sum(
+            loss = wt * float(np.sum(
                 np.logaddexp(0.0, z) - label * z))
             out = np.concatenate(
-                [g, [err.sum(), loss, float(nr)]])
+                [g, [err.sum(), loss, wt * float(nr)]])
             return pa.table({"p": pa.array(out)})
 
         return [bb.column("p").to_numpy(zero_copy_only=False)
