@@ -50,10 +50,15 @@ def main() -> None:
                     choices=["", "dsir", "classifier"])
     ap.add_argument("--select-ref", default="",
                     help="target/positive corpus parquet for --select")
-    ap.add_argument("--select-knob", type=float, default=0.3,
-                    help="dsir keep fraction / classifier Pareto alpha")
+    ap.add_argument("--select-knob", type=float, default=None,
+                    help="dsir keep fraction (default 0.3) / classifier "
+                    "Pareto alpha (default 9.0) — the two knobs live on "
+                    "different scales, so the default is per-mode")
     ap.add_argument("--pack-tokens", type=int, default=0,
                     help="0 = no packing")
+    ap.add_argument("--pack-shards", type=int, default=0,
+                    help="packing shard count override (0 = auto-size "
+                    "from pinned input bytes)")
     ap.add_argument("--num-shards", type=int, default=16)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -83,7 +88,12 @@ def main() -> None:
         }
         if args.checkpoint:
             clean_kwargs["checkpoint"] = args.checkpoint
-            clean_kwargs["docs_fp"] = input_fingerprint(args.docs)
+            # the clean stages see EXTRACTED text when --html-col is
+            # set — fold that into the fingerprint so toggling the
+            # flag can never reuse checkpoints built from other text
+            clean_kwargs["docs_fp"] = (
+                input_fingerprint(args.docs)
+                + (f"|html={args.html_col}" if args.html_col else ""))
         eval_ds = None
         if args.eval:
             eval_ds = rd.read_parquet(args.eval)
@@ -91,14 +101,19 @@ def main() -> None:
                 clean_kwargs["eval_fp"] = input_fingerprint(args.eval)
         select = None
         if args.select:
+            knob = args.select_knob
+            if knob is None:
+                knob = 0.3 if args.select == "dsir" else 9.0
             select = (args.select, rd.read_parquet(args.select_ref),
-                      args.select_knob)
+                      knob)
         man = curate_pretrain(
             docs, html_col=args.html_col or None,
             text_col=args.text_col, id_col=args.id_col,
             clean_kwargs=clean_kwargs, eval_ds=eval_ds,
             decontam_n=args.decontam_n, select=select,
             pack_tokens=args.pack_tokens or None,
+            pack_kwargs=({"num_shards": args.pack_shards}
+                         if args.pack_shards else None),
             out_dir=args.out, num_shards=args.num_shards,
             seed=args.seed)
         print(json.dumps({

@@ -66,6 +66,14 @@ def curate_pretrain(docs_ds, *, html_col: str | None = None,
         kw.setdefault("decontam_n", decontam_n)
     ds = clean_corpus(ds, **kw)
 
+    if select is not None or pack_tokens is not None:
+        # the selection legs consume the cleaned stream repeatedly
+        # (count + one gradient/count pass per epoch + scoring), and
+        # pack's shard auto-sizing needs a size probe — pin the
+        # cleaned survivors once unless the caller chose re-read mode
+        if kw.get("materialize", True):
+            ds = ds.materialize()
+
     if select is not None:
         mode, ref_ds, knob = select
         if mode == "dsir":
@@ -97,6 +105,11 @@ def curate_pretrain(docs_ds, *, html_col: str | None = None,
     if pack_tokens is not None:
         from ner_ray.stages.chunking import pack_sequences
 
+        if select is not None and kw.get("materialize", True):
+            # pin the (smaller) selected set so pack's shard
+            # auto-sizing sees real bytes, not a lazy chain's floor;
+            # the cleaned pin above becomes unreachable and frees
+            ds = ds.materialize()
         pk = dict(pack_kwargs or {})
         ds = pack_sequences(ds, max_tokens=pack_tokens,
                             text_col=text_col, id_col=id_col,

@@ -152,7 +152,8 @@ def learn_bpe(ds=None, vocab_size: int = 1000, text_col: str = "text",
                 # push so brand-new pairs are reachable; stale
                 # duplicates are verified (and discarded) on pop
                 heapq.heappush(heap, (-pair_counts[p], p))
-    return {"merges": merges, "vocab": sorted(vocab)}
+    return {"merges": merges, "vocab": sorted(vocab),
+            "lowercase": lowercase}
 
 
 def _encode_word(word: str, ranks: dict) -> tuple[str, ...]:
@@ -173,24 +174,35 @@ def _encode_word(word: str, ranks: dict) -> tuple[str, ...]:
 
 class BpeEncoder:
     """Actor-pool encode stage: merge ranks built once per actor in
-    ``__init__`` (from the broadcast model ref), per-unique-word memo
-    cache persists across batches."""
+    ``__init__`` (from the broadcast model ref); the per-unique-word
+    memo cache persists across batches but is CAPPED — the distinct-
+    word tail is unbounded at web scale (the reason word_counts caps),
+    so past ``max_cache`` entries new words encode uncached (the Zipf
+    head is admitted early and keeps its hits)."""
 
     def __init__(self, model_ref, text_col: str = "text",
-                 out_col: str = "bpe_tokens", lowercase: bool = False):
+                 out_col: str = "bpe_tokens",
+                 lowercase: bool | None = None,
+                 max_cache: int = 1_000_000):
         import ray
 
         model = ray.get(model_ref) if not isinstance(model_ref, dict) \
             else model_ref
         self.ranks = {pair: i for i, pair in enumerate(model["merges"])}
         self.text_col, self.out_col = text_col, out_col
-        self.lowercase = lowercase
+        # default to the case handling the model was TRAINED with —
+        # a mismatch silently shatters words to near-character level
+        self.lowercase = (model.get("lowercase", False)
+                          if lowercase is None else lowercase)
         self.cache: dict = {}
+        self.max_cache = max_cache
 
     def _tokens_for(self, word: str) -> tuple[str, ...]:
         got = self.cache.get(word)
         if got is None:
-            got = self.cache[word] = _encode_word(word, self.ranks)
+            got = _encode_word(word, self.ranks)
+            if len(self.cache) < self.max_cache:
+                self.cache[word] = got
         return got
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -220,8 +232,8 @@ class BpeEncoder:
 
 
 def bpe_encode(ds, model: dict, text_col: str = "text",
-               out_col: str = "bpe_tokens", lowercase: bool = False,
-               concurrency=(1, 4)):
+               out_col: str = "bpe_tokens",
+               lowercase: bool | None = None, concurrency=(1, 4)):
     """Append a list<string> BPE-token column. The model broadcasts
     once; encoding is a stateful actor-pool map (cache in __init__)."""
     import ray

@@ -179,7 +179,6 @@ def _eval_matrix(eval_ds, emb_col: str, max_rows: int) -> np.ndarray:
 
 def semantic_decontaminate(train_ds, eval_ds=None, tau: float = 0.95,
                            emb_col: str = "embedding",
-                           id_col: str = "vec_id",
                            eval_emb_col: str | None = None,
                            eval_matrix: np.ndarray | None = None,
                            max_eval_rows: int = MAX_EVAL_EMBEDDINGS,

@@ -40,6 +40,11 @@ class _Extractor(HTMLParser):
         self.in_title = False
 
     def handle_starttag(self, tag, attrs):
+        # <title> content is text-only per spec: any other start tag
+        # means the title was never closed (real crawls do this) —
+        # without the reset the whole body would land in the title
+        if self.in_title and tag != "title":
+            self.in_title = False
         if tag in _SKIP:
             self.skip_depth += 1
         elif tag == "title":

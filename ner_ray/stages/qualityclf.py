@@ -28,10 +28,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ner_ray.stages.dsir import _feature_buckets
+from ner_ray.stages.dsir import DEFAULT_BUCKETS, _feature_buckets
 from ner_ray.stages.sampling import _uniform01
-
-DEFAULT_BUCKETS = 10_000
 
 
 def _batch_design(texts, num_buckets: int, n: int):

@@ -39,6 +39,15 @@ def test_extract_basics():
     assert "hidden" not in text and "color: red" not in text
 
 
+def test_unclosed_title_keeps_body():
+    # real crawls contain unclosed <title>; without the reset the
+    # whole body would be swallowed into the title
+    text, title = extract_html(
+        "<html><head><title>Foo<body><p>real content here</p>")
+    assert title == "Foo"
+    assert "real content here" in text
+
+
 def test_malformed_and_empty():
     text, title = extract_html("<p>ok<div <<<bad")
     assert text.startswith("ok")
