@@ -91,10 +91,11 @@ def pack_sequences(docs_ds, max_tokens: int = 1024,
 
     Scale shape: a global concatenation order would serialize the
     corpus, so the stream is sharded by the seed-stable id hash —
-    shard membership and within-shard order (by id) are pure functions
-    of (id, seed), making the packed output identical on any cluster
-    size / block layout / retry (Ray's ``random_shuffle`` or
-    input-order packing would not be). ONE groupby(shard) shuffle; each
+    shard membership and within-shard order (by id, tie-broken by the
+    seed-stable text hash so duplicate ids stay deterministic) are pure
+    functions of row content and seed, making the packed output
+    identical on any cluster size / block layout / retry (Ray's
+    ``random_shuffle`` or input-order packing would not be). ONE groupby(shard) shuffle; each
     shard packs itself vectorized (window arithmetic in numpy, one
     C-level join per output row). The final short window per shard is
     kept unless ``drop_last``. ``num_shards`` auto-sizes from input
@@ -122,7 +123,18 @@ def pack_sequences(docs_ds, max_tokens: int = 1024,
 
     def pack(g: pa.Table) -> pa.Table:
         shard = g.column("_shard")[0].as_py()
-        order = pc.sort_indices(g.column(id_col))
+        # within-shard order must be a pure function of row CONTENT:
+        # id alone ties on duplicate ids (e.g. chunk_documents emits
+        # doc_id once per chunk) and Ray's post-shuffle arrival order
+        # is not deterministic, so break ties by the seed-stable text
+        # hash. Rows identical in BOTH keys are interchangeable — the
+        # packed token stream is unchanged by their relative order.
+        th = hash_column(g.column(text_col)).astype(np.int64)
+        keyed = pa.table({"_k1": g.column(id_col),
+                          "_k2": pa.array(th)})
+        order = pc.sort_indices(
+            keyed, sort_keys=[("_k1", "ascending"),
+                              ("_k2", "ascending")])
         txt = pc.fill_null(g.column(text_col).take(order), "").to_pandas()
         words = txt.str.split()
         lens = words.str.len().fillna(0).to_numpy(dtype=np.int64)

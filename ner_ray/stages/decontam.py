@@ -105,7 +105,8 @@ def decontaminate(docs_ds, eval_ds=None, n: int = 13,
 def contamination_report(docs_ds, eval_ds=None, n: int = 13,
                          text_col: str = "text", id_col: str = "doc_id",
                          eval_text_col: str | None = None,
-                         eval_hashes: np.ndarray | None = None):
+                         eval_hashes: np.ndarray | None = None,
+                         max_broadcast_hashes: int = MAX_BROADCAST_HASHES):
     """The audit view of ``decontaminate``: one row per CONTAMINATED
     doc with the number of distinct eval n-grams it shares
     (``n_shared``) and its own distinct n-gram count (``n_ngrams``) —
@@ -120,6 +121,16 @@ def contamination_report(docs_ds, eval_ds=None, n: int = 13,
         eval_hashes = eval_ngram_hashes(
             eval_ds, text_col=eval_text_col or text_col, n=n)
     hs = np.sort(np.asarray(eval_hashes, dtype=np.uint64))
+    # same size guard as decontaminate's broadcast path: the audit view
+    # has no bucketed fallback, so a pathological eval set must raise
+    # (with the knob named) rather than OOM every map task
+    if len(hs) > max_broadcast_hashes:
+        raise ValueError(
+            f"eval set has {len(hs)} distinct n-gram hashes, above "
+            f"max_broadcast_hashes={max_broadcast_hashes}; shard the "
+            "eval set and union the per-shard reports (summing "
+            "n_shared per doc), or raise the cap explicitly if the "
+            "cluster's workers can hold the broadcast")
     ref = ray.put(hs)
 
     def report(t: pa.Table) -> pa.Table:
@@ -308,6 +319,10 @@ def _decontaminate_bucketed(docs_ds, eval_hashes, n, text_col, id_col,
     id_type = None
     for b in docs_ds.limit(1).iter_batches(batch_format="pyarrow"):
         id_type = b.schema.field(id_col).type
+    if id_type is None:
+        # empty corpus: nothing to decontaminate, and a null-typed id
+        # column could never union with the doc-rows schema anyway
+        return docs_ds
     ev_tbl = pa.table({
         "_h": pa.array(eval_hashes.view(np.int64)),
         id_col: pa.nulls(len(eval_hashes), id_type),

@@ -29,7 +29,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ner_ray.stages.lmscore import _batch_tokens, score_quantiles
+from ner_ray.stages.lmscore import (_batch_tokens, score_minmax,
+                                    score_quantiles)
 from ner_ray.stages.sampling import _uniform01
 from ner_ray.util.hashing import combine_hashes, hash_column, to_bucket
 
@@ -153,8 +154,30 @@ def dsir_select(ds, model: dict, fraction: float,
     if fraction >= 1.0:
         thresh = -np.inf
     else:
+        lo, hi = score_minmax(noisy, "_dsir_score")
+        if hi <= lo:
+            # degenerate constant scores (e.g. a zero log-ratio model
+            # with gumbel=False): any score threshold keeps 0% or 100%,
+            # silently ignoring ``fraction``. Fall back to the exact
+            # seed-stable hash-threshold sampler so ~fraction survives
+            # deterministically regardless of the flat weights.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dsir_select: all %d-bin scores equal (%.6g); falling "
+                "back to hash-threshold sampling at fraction=%.4g",
+                bins, lo, fraction)
+
+            def keep_hash(t: pa.Table) -> pa.Table:
+                u = _uniform01(t.column(id_col), seed) if len(t) \
+                    else np.array([])
+                return t.filter(pa.array(u < fraction)).drop_columns(
+                    ["_dsir_score"])
+
+            return noisy.map_batches(keep_hash, batch_format="pyarrow")
         (thresh,) = score_quantiles(noisy, "_dsir_score",
-                                    (1.0 - fraction,), bins=bins)
+                                    (1.0 - fraction,), bins=bins,
+                                    lohi=(lo, hi))
 
     def keep(t: pa.Table) -> pa.Table:
         s = t.column("_dsir_score").to_numpy(zero_copy_only=False)

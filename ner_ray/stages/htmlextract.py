@@ -128,6 +128,9 @@ def extract_text_from_html(ds, html_col: str = "html",
             "html_col": html_col, "text_col": text_col,
             "title_col": title_col},
         batch_format="pyarrow", concurrency=concurrency)
-    if drop_html:
+    # when extraction writes INTO the html column (html_col == text_col
+    # or title_col) the stage already replaced it — dropping it here
+    # would delete the freshly extracted output, not the raw HTML
+    if drop_html and html_col not in (text_col, title_col):
         out = out.drop_columns([html_col])
     return out

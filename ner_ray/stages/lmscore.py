@@ -104,12 +104,11 @@ def score_docs(docs_ds, model: dict, text_col: str = "text",
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def score_quantiles(ds, col: str, qs: tuple[float, ...],
-                    bins: int = 8192) -> list[float]:
-    """Approximate quantiles of a numeric column from an exact-count
-    histogram: pass 1 min/max, pass 2 per-batch histogram partials.
-    Only (bins,) count vectors reach the driver; the quantile error is
-    bounded by (max-min)/bins. Deterministic for given data."""
+def score_minmax(ds, col: str) -> tuple[float, float]:
+    """(min, max) of a numeric column via per-batch partials — the
+    first pass of ``score_quantiles``, exposed so callers can inspect
+    the range (e.g. detect a degenerate constant column) without
+    paying it twice."""
     import pyarrow.compute as pc
 
     stats = [(pc.min(b.column(col)).as_py(), pc.max(b.column(col)).as_py())
@@ -122,6 +121,18 @@ def score_quantiles(ds, col: str, qs: tuple[float, ...],
                      batch_format="pyarrow")]
     lo = min(s[0] for s in stats if s[0] is not None)
     hi = max(s[1] for s in stats if s[1] is not None)
+    return lo, hi
+
+
+def score_quantiles(ds, col: str, qs: tuple[float, ...],
+                    bins: int = 8192,
+                    lohi: tuple[float, float] | None = None) -> list[float]:
+    """Approximate quantiles of a numeric column from an exact-count
+    histogram: pass 1 min/max (skipped when the caller passes a
+    precomputed ``lohi``), pass 2 per-batch histogram partials.
+    Only (bins,) count vectors reach the driver; the quantile error is
+    bounded by (max-min)/bins. Deterministic for given data."""
+    lo, hi = lohi if lohi is not None else score_minmax(ds, col)
     if hi <= lo:
         return [lo for _ in qs]
     edges = np.linspace(lo, hi, bins + 1)
