@@ -136,6 +136,23 @@ def test_triangles_two_hop_match_duckdb(graph):
     pd.testing.assert_frame_equal(th, two_sql)
 
 
+def test_two_hop_grouped_path_matches_broadcast(graph):
+    df, _, und = graph
+    *_, two = _brute(df)
+    # force the string-keyed (web-scale) path: same exact counts
+    th = two_hop_counts(und, max_broadcast_nodes=0).to_pandas()
+    assert th.set_index("node")["two_hop_count"].to_dict() == two
+
+
+def test_two_hop_hub_cap_grouped_matches_broadcast(graph):
+    df, _, und = graph
+    a = two_hop_counts(und, max_mid_degree=5).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = two_hop_counts(und, max_mid_degree=5, max_broadcast_nodes=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_two_hop_hub_cap_logs_and_undercounts(graph, caplog):
     import logging
 
