@@ -8,7 +8,12 @@ Shape at 10^11 docs:
   ``groupby(token).sum`` merges (one scalar row per distinct token per
   block, same bound as every partial+final agg here);
 * vocabulary policy: ``min_df`` floors rare noise; above ``max_vocab``
-  the top-by-df survive and the drop is LOGGED (no silent caps);
+  the top-by-df survive and the drop is LOGGED (no silent caps).
+  ``tfidf_topk_terms`` collects the vocabulary to the driver for the
+  idf broadcast, so its default cap is FINITE (``"auto"`` ->
+  ``DEFAULT_MAX_VOCAB``): web-scale distinct-token counts run to
+  billions and an unbounded default is a driver OOM. Pass
+  ``max_vocab=None`` to opt in to unbounded explicitly;
 * pass 2 (score): the (token -> idf) map broadcasts ONCE via
   ``ray.put`` and scoring is map-only — factorize the batch's tokens,
   look up idf on the uniques, bincount tf per doc, emit each doc's
@@ -30,6 +35,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _LOG = logging.getLogger(__name__)
+
+# default driver-side vocabulary bound for the idf broadcast: 5M
+# (token, idf) entries is ~100 MB — comfortably driver/worker-sized,
+# while real web corpora exceed it by orders of magnitude
+DEFAULT_MAX_VOCAB = 5_000_000
 
 
 def _doc_distinct_tokens(t: pa.Table, text_col: str):
@@ -75,14 +85,21 @@ def document_frequencies(docs_ds, text_col: str = "text",
 
 def tfidf_topk_terms(docs_ds, text_col: str = "text",
                      id_col: str = "doc_id", k: int = 5,
-                     min_df: int = 1, max_vocab: int | None = None,
+                     min_df: int = 1,
+                     max_vocab: int | str | None = "auto",
                      materialize: bool = True):
     """Per-doc top-k TF-IDF terms: (id, term, tf, score, rank). The
     idf table broadcasts once (``ray.put``); scoring is map-only.
+    ``max_vocab`` bounds the driver-collected vocabulary; the default
+    ``"auto"`` resolves to ``DEFAULT_MAX_VOCAB`` (over-cap tokens are
+    dropped lowest-df-first and LOGGED) — ``None`` is the explicit
+    unbounded opt-in for corpora whose vocabulary is known to fit.
     ``materialize=True`` pins the input (it feeds the df pass AND the
     scoring pass); False is the re-read mode."""
     import ray
 
+    if max_vocab == "auto":
+        max_vocab = DEFAULT_MAX_VOCAB
     if materialize:
         docs_ds = docs_ds.materialize()
     n_docs = docs_ds.count()

@@ -80,3 +80,35 @@ def test_min_df_and_vocab_cap(ray_session, caplog):
         capped = document_frequencies(ds, max_vocab=10).count()
     assert capped == 10 < full
     assert any("capped" in r.message for r in caplog.records)
+
+
+def test_topk_default_cap_is_finite(ray_session, caplog):
+    """The driver-collected idf vocabulary must be bounded BY DEFAULT:
+    a synthetic high-cardinality corpus (every token unique) crosses a
+    small injected cap, logs the drop, and still scores; None remains
+    the explicit unbounded opt-in."""
+    import logging
+
+    import ray.data as rd
+
+    from ner_ray.stages import tfidf as T
+    from ner_ray.stages.tfidf import tfidf_topk_terms
+
+    assert T.DEFAULT_MAX_VOCAB is not None  # the default IS finite
+    rows = [{"doc_id": i,
+             "text": " ".join(f"tok{i}_{j}" for j in range(20))}
+            for i in range(30)]  # 600 distinct tokens
+    ds = rd.from_items(rows)
+    orig = T.DEFAULT_MAX_VOCAB
+    try:
+        T.DEFAULT_MAX_VOCAB = 50
+        with caplog.at_level(logging.WARNING,
+                             logger="ner_ray.stages.tfidf"):
+            got = tfidf_topk_terms(ds, k=3).to_pandas()
+    finally:
+        T.DEFAULT_MAX_VOCAB = orig
+    assert any("capped" in r.message for r in caplog.records)
+    assert got["term"].nunique() <= 50
+    # explicit opt-out keeps the full vocabulary
+    full = tfidf_topk_terms(ds, k=3, max_vocab=None).to_pandas()
+    assert len(full) == 30 * 3
