@@ -1,8 +1,8 @@
 """Join / lookup operators (SURVEY.md §2.4, J1-J5).
 
 Strategy table (ray_guide.md §"Joins and lookups"):
-* small side       -> broadcast (ray.put once, pandas merge / dict /
-                      searchsorted per batch) — NO shuffle
+* small side       -> broadcast (ray.put once, Arrow searchsorted +
+                      take per batch; nested-column-safe) — NO shuffle
 * large × large    -> ``Dataset.join`` (hash-partitioned; verified in
                       Ray 2.49) with ``bucketed_hash_join`` as the
                       portable explicit-partitioned fallback
@@ -19,27 +19,80 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
+def broadcast_join(ds, small_df, left_on: str, right_on: str,
                    how: str = "inner"):
     """Map-side join against a broadcast dimension table (J1).
 
-    ``small_df`` is shipped to the object store ONCE; each batch does a
-    vectorized pandas merge. Supports 1:N small-side multiplicity.
-    """
+    ``small_df`` (pandas or ``pa.Table``) is sorted by key and shipped
+    to the object store ONCE; each batch resolves its match ranges via
+    ``searchsorted`` and expands with Arrow ``take`` — fully
+    Arrow-native, so nested payload columns (``list<struct>`` spans
+    etc.) on EITHER side survive untouched (a pandas merge would
+    mangle them, and Acero's hash join rejects nested non-key fields
+    outright). Supports 1:N small-side multiplicity; ``how`` is
+    ``inner`` or ``left`` (unmatched left rows keep null small-side
+    columns). Non-key column names must be disjoint across sides; the
+    right key column is kept (both key columns appear) unless it has
+    the same name as the left key. Batch-row order is preserved;
+    within a key, small-side rows keep their input order."""
     import ray
 
-    ref = ray.put(small_df)
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports inner/left, got {how!r}")
+    small = (pa.Table.from_pandas(small_df, preserve_index=False)
+             if isinstance(small_df, pd.DataFrame)
+             else small_df.combine_chunks())
+    skeys = small.column(right_on).to_numpy(zero_copy_only=False)
+    order = np.argsort(skeys, kind="stable")
+    small = small.take(pa.array(order))
+    skeys = skeys[order]
+    if skeys.dtype == object:
+        skeys = skeys.astype("U")
+    right_cols = [c for c in small.column_names
+                  if c != right_on or right_on != left_on]
+    ref = ray.put((small.select(right_cols), skeys))
 
     class _Join:
         def __init__(self):
-            self.small = ray.get(ref)
+            self.small, self.skeys = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, how=how, left_on=left_on,
-                               right_on=right_on)
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = len(t)
+            key_col = t.column(left_on)
+            nulls = pc.is_null(key_col).to_numpy(zero_copy_only=False)
+            bk = key_col.to_numpy(zero_copy_only=False)
+            lo = np.zeros(n, np.int64)
+            cnt = np.zeros(n, np.int64)
+            valid = ~nulls
+            if valid.any():
+                bkv = bk[valid]
+                if self.skeys.dtype.kind == "U":
+                    bkv = bkv.astype("U")
+                left = np.searchsorted(self.skeys, bkv, "left")
+                right = np.searchsorted(self.skeys, bkv, "right")
+                lo[valid] = left
+                cnt[valid] = right - left
+            out_cnt = np.maximum(cnt, 1) if how == "left" else cnt
+            total = int(out_cnt.sum())
+            bidx = np.repeat(np.arange(n), out_cnt)
+            within = (np.arange(total)
+                      - np.repeat(np.cumsum(out_cnt) - out_cnt, out_cnt))
+            sidx = lo[bidx] + within
+            matched = cnt[bidx] > 0
+            sidx_pa = pa.array(np.where(matched, sidx, 0), pa.int64(),
+                               mask=~matched)  # null idx -> null row
+            out = t.take(pa.array(bidx))
+            for name in self.small.column_names:
+                if name in out.column_names:
+                    raise ValueError(
+                        f"broadcast_join: non-key column {name!r} "
+                        "exists on both sides — rename one")
+                out = out.append_column(
+                    name, self.small.column(name).take(sidx_pa))
+            return out
 
-    return ds.map_batches(_Join, batch_format="pandas", concurrency=(1, 4),
-                          num_cpus=1)
+    return ds.map_batches(_Join, batch_format="pyarrow",
+                          concurrency=(1, 4), num_cpus=1)
 
 
 def clamp_join_partitions(n: int) -> int:
