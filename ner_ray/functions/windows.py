@@ -83,12 +83,45 @@ def sliding_window_agg(ds, key: str, ts_col: str, value_col: str,
     )
 
 
-def session_windows(ds, key: str, ts_col: str, gap_seconds: float):
-    """Session windows per key: ts-sorted group scan; a new session
-    starts when the inter-event gap exceeds ``gap_seconds``."""
-    gap = np.timedelta64(int(gap_seconds * 1_000_000), "us")
+def session_windows(ds, key: str, ts_col: str, gap_seconds: float,
+                    slab_seconds: float | None = None):
+    """Session windows per key: a new session starts when the
+    inter-event gap exceeds ``gap_seconds``.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+    Skew-safe decomposition: grouping by key alone puts a hot key's
+    ENTIRE history in one task (unbounded). Instead events group by
+    ``(key, time-slab)`` — slabs are fixed ``slab_seconds`` spans
+    (default ``max(86400, 16 * gap)``; any value >= gap is exact) —
+    and each slab computes its local sessions vectorized. A local
+    session further than ``gap`` from both slab edges can never merge
+    across a slab boundary, so it is FINAL immediately; only the <= 2
+    boundary-touching sessions per (key, slab) enter the per-key merge
+    pass, whose group size is O(slabs spanned), bounded by the time
+    range — never by a hot key's event count. Because a slab is at
+    least ``gap`` wide, sessions separated by an empty slab can never
+    merge, so chain-merging adjacent boundary sessions is exact.
+    The session-row stream (scalars, one row per LOCAL session) is
+    pinned via ``materialize`` so the interior/boundary split does not
+    re-execute the upstream."""
+    gap_us = int(gap_seconds * 1_000_000)
+    gap = np.timedelta64(gap_us, "us")
+    if slab_seconds is None:
+        slab_seconds = max(86_400.0, 16.0 * gap_seconds)
+    slab_us = int(slab_seconds * 1_000_000)
+    if slab_us < gap_us:
+        raise ValueError(
+            f"slab_seconds ({slab_seconds}) must be >= gap_seconds "
+            f"({gap_seconds}) for boundary merging to be exact")
+
+    def slab(t: pa.Table) -> pa.Table:
+        ts_i = pc.cast(t.column(ts_col), pa.int64())
+        return pa.table({
+            key: t.column(key),
+            ts_col: t.column(ts_col),
+            "_slab": pc.divide(ts_i, pa.scalar(slab_us, pa.int64())),
+        })
+
+    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="stable")
         ts = g[ts_col].to_numpy()
         new = np.ones(len(g), dtype=bool)
@@ -101,6 +134,46 @@ def session_windows(ds, key: str, ts_col: str, gap_seconds: float):
             n_events=(ts_col, "size"),
         ).reset_index(drop=True)
         out.insert(0, key, g[key].iloc[0])
+        s = int(g["_slab"].iloc[0])
+        lo = np.datetime64(s * slab_us, "us")
+        hi = np.datetime64((s + 1) * slab_us, "us")
+        out["_boundary"] = (
+            (out["session_start"].to_numpy() - lo <= gap)
+            | (hi - out["session_end"].to_numpy() <= gap))
         return out
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    local = ds.map_batches(slab, batch_format="pyarrow") \
+        .groupby([key, "_slab"]) \
+        .map_groups(local_sessions, batch_format="pandas") \
+        .materialize()
+    def _split(keep_boundary: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = t.column("_boundary")
+            mask = m if keep_boundary else pc.invert(m)
+            return t.filter(mask).drop_columns(["_boundary"])
+
+        return fn
+
+    interior = local.map_batches(_split(False), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("session_start", kind="stable")
+        start = g["session_start"].to_numpy()
+        end = g["session_end"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (start[1:] - end[:-1]) > gap
+        sid = np.cumsum(new) - 1
+        out = g.groupby(sid).agg(
+            session_start=("session_start", "min"),
+            session_end=("session_end", "max"),
+            n_events=("n_events", "sum"),
+        ).reset_index(drop=True)
+        out.insert(0, key, g[key].iloc[0])
+        # arrow block out: the union with the interior (arrow) stream
+        # must not mix block types
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    merged = local.map_batches(_split(True), batch_format="pyarrow") \
+        .groupby(key).map_groups(merge, batch_format="pandas")
+    return interior.union(merged)
