@@ -85,7 +85,13 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 class LangIdStage:
     """Stopword-profile language ID (n-gram-free heuristic): score per
     language = fraction of tokens in that language's stopword set;
-    pred_lang = argmax, ties -> lexicographic. Deterministic."""
+    pred_lang = argmax, ties -> lexicographic. Deterministic.
+
+    The trainable upgrade is ``stages/langid.py`` (hashed char-n-gram
+    multinomial logistic, fastText-shaped): use it whenever labeled
+    text exists or a language has no stopword profile; this heuristic
+    stays as the zero-training fallback and the q_doc_signals
+    contract."""
 
     def __init__(self):
         self.langs = sorted(STOPWORDS)
