@@ -277,10 +277,17 @@ def q_topk_entities(_sf_dir: str):
                        descending=[True, False]).limit(20)
 
 
-@q("q_span_invariant")
+@q("q_span_invariant", sql=f"""
+SELECT doc_id, TRUE AS equal
+FROM read_parquet('{_SMALL}/docs.parquet')
+""")
 def q_span_invariant(_sf_dir: str):
     """Q6 as a query: per-doc boolean span-sequence equality between
-    annotated output and input (must be all-true; also a pytest)."""
+    annotated output and input. The invariant IS the oracle: every
+    input doc must appear exactly once with equal=TRUE, so the SQL
+    side enumerates the fixture's doc ids with the constant — a
+    dropped/fabricated doc breaks the row count, a mutated span
+    sequence breaks the value hash (equal=False). Also a pytest."""
     import ray.data as rd
 
     from ner_ray.stages.annotate import AnnotateDocsActor
