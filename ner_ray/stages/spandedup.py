@@ -26,8 +26,21 @@ Scale design
   same contract as decontam's bucketed fallback threshold) rather
   than silently degrade.
 - Hash-for-string substitution: 64-bit stable hashes stand in for
-  gram identity (the exact_dedup contract; a collision adds a spurious
-  removal at ~2^-64 per gram pair).
+  gram identity (the exact_dedup contract). Collision semantics are
+  OVER-TRIM ONLY: equal gram strings always hash equal, so every
+  genuinely repeated window is found (under-trim is impossible); a
+  collision between two DISTINCT grams can only inflate a doc count
+  or alias a unique gram to a repeated one — both remove extra
+  windows, never keep a duplicated one. Expected false-trim rate: with
+  G distinct k-grams corpus-wide, expected colliding pairs ~= G^2 /
+  2^65 (birthday bound), each trimming at most 2k extra tokens per
+  affected doc. At G = 10^12 (a ~100-TB corpus) that is ~2.7e4
+  colliding pairs -> a falsely-trimmed token fraction on the order of
+  1e-8 — far below the noise floor of the dedup itself. This is the
+  documented gap vs Lee et al.'s suffix-array ExactSubstr, which is
+  collision-free but needs a global suffix array.
+  ``hash_mod`` (test-only) truncates the hash space to make collisions
+  common so the over-trim-only contract is provable in tests.
 
 Tokens are whitespace tokens (``str.split()``), matching the shingle
 kernel in neardup/decontam; removal spans never cross document
@@ -47,7 +60,8 @@ DEFAULT_K = 20
 MAX_BROADCAST_HASHES = 50_000_000  # ~400 MB of int64 — object-store safe
 
 
-def _positional_ngram_hashes(texts: pd.Series, k: int):
+def _positional_ngram_hashes(texts: pd.Series, k: int,
+                             hash_mod: int | None = None):
     """(row_idx, token_pos, uint64 hash) for every k-token window.
 
     Same tokenization + shift-concat construction as
@@ -72,18 +86,22 @@ def _positional_ngram_hashes(texts: pd.Series, k: int):
         valid &= v
     sh = parts[0].str.cat(parts[1:], sep=" ") if k > 1 else flat
     keep = valid & sh.notna().to_numpy()
-    return (row[keep], pos[keep]), hash_column(sh[keep]), counts, flat, row
+    h = hash_column(sh[keep])
+    if hash_mod is not None:  # collision injection (tests only)
+        h = h % np.uint64(hash_mod)
+    return (row[keep], pos[keep]), h, counts, flat, row
 
 
 def duplicated_ngram_hashes(docs_ds, k: int = DEFAULT_K,
-                            min_docs: int = 2, text_col: str = "text"):
+                            min_docs: int = 2, text_col: str = "text",
+                            hash_mod: int | None = None):
     """Dataset -> Dataset[(h: int64, n_docs: int64)] of k-gram hashes
     occurring in >= min_docs distinct documents."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pandas()
-        (row, _pos), h, *_ = _positional_ngram_hashes(texts, k)
+        (row, _pos), h, *_ = _positional_ngram_hashes(texts, k, hash_mod)
         if len(h) == 0:
             return pa.table({"h": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
@@ -101,7 +119,8 @@ def duplicated_ngram_hashes(docs_ds, k: int = DEFAULT_K,
 
 def remove_repeated_spans(docs_ds, k: int = DEFAULT_K, min_docs: int = 2,
                           text_col: str = "text", id_col: str = "doc_id",
-                          max_broadcast_hashes: int = MAX_BROADCAST_HASHES):
+                          max_broadcast_hashes: int = MAX_BROADCAST_HASHES,
+                          hash_mod: int | None = None):
     """Rewrite ``text_col`` with every globally-repeated k-token
     window removed (union of covering windows); adds
     ``removed_tokens`` (int64) per doc. Two passes over the corpus:
@@ -109,7 +128,8 @@ def remove_repeated_spans(docs_ds, k: int = DEFAULT_K, min_docs: int = 2,
     import ray
 
     dup = duplicated_ngram_hashes(docs_ds, k=k, min_docs=min_docs,
-                                  text_col=text_col).materialize()
+                                  text_col=text_col,
+                                  hash_mod=hash_mod).materialize()
     n_dup = dup.count()
     if n_dup > max_broadcast_hashes:
         raise ValueError(
@@ -131,7 +151,7 @@ def remove_repeated_spans(docs_ds, k: int = DEFAULT_K, min_docs: int = 2,
         def __call__(self, t: pa.Table) -> pa.Table:
             texts = t.column(text_col).to_pandas()
             (row, pos), h, counts, flat, tok_row = \
-                _positional_ngram_hashes(texts, k)
+                _positional_ngram_hashes(texts, k, hash_mod)
             n_tok = len(flat)
             if n_tok == 0 or len(self.dup) == 0:
                 out = t.set_column(

@@ -164,3 +164,33 @@ def test_no_duplicates_is_identity(ray_session):
         .sort_values("doc_id")
     assert list(out.text) == list(df.text)
     assert out.removed_tokens.sum() == 0
+
+
+def test_collision_injection_over_trims_only(ray_session):
+    """The hashed-ExactSubstr collision contract: truncating the hash
+    space (hash_mod) makes collisions common; the result must remove a
+    SUPERSET of the exact string-based removal — every genuinely
+    repeated window still goes (equal strings hash equal), extra
+    windows may go, and the kept tokens are a subsequence of the exact
+    output's kept tokens."""
+    import ray.data as rd
+
+    texts = _corpus(seed=9, n=40)
+    df = pd.DataFrame({"doc_id": [f"d{i:03d}" for i in range(len(texts))],
+                       "text": texts})
+    brute_out, brute_rem, _ = _brute(texts, K, 2)
+    collided = remove_repeated_spans(
+        rd.from_pandas(df), k=K, min_docs=2, hash_mod=97) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (collided["removed_tokens"].to_numpy()
+            >= np.array(brute_rem)).all()
+    # with a 97-slot hash space collisions are certain here
+    assert (collided["removed_tokens"].to_numpy()
+            > np.array(brute_rem)).any()
+
+    def is_subseq(small, big):
+        it = iter(big)
+        return all(w in it for w in small)
+
+    for got, want in zip(collided["text"], brute_out):
+        assert is_subseq(got.split(), want.split())
