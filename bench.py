@@ -279,6 +279,170 @@ def run_bench() -> dict:
     return result
 
 
+def _stage_curate_corpus(n_docs: int) -> str:
+    """Deterministic synthetic HTML crawl (+ eval/target sidecars)
+    staged once under /tmp — the input for the curate-chain bench.
+    Mix: ~10% French (language filter fodder), ~30% target-flavored
+    (DSIR separates), ~4% planted exact dups, ~3% near dups; every doc
+    wraps in HTML with a script tag and boilerplate footer so the
+    extraction stage does real work. Seeded rng end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus_dir = f"/tmp/ner_ray_curate_corpus/n{n_docs}_v1"
+    if os.path.exists(os.path.join(corpus_dir, "_COMPLETE")):
+        return corpus_dir
+    rng = np.random.default_rng(20260819)
+    en_stop = ["the", "and", "of", "to", "a", "in", "is", "it",
+               "for", "on"]
+    common = en_stop * 3 + [f"word{i}" for i in range(300)]
+    target = en_stop * 2 + [f"sci{i}" for i in range(120)] + \
+        ["theorem", "proof", "model", "data", "graph", "lemma"]
+    french = ["le", "la", "les", "de", "des", "et", "un", "une",
+              "est", "dans"] * 3 + [f"mot{i}" for i in range(100)]
+    texts, htmls, ids = [], [], []
+    for i in range(n_docs):
+        r = rng.random()
+        vocab = french if r < 0.10 else (target if r < 0.40 else common)
+        length = int(rng.integers(60, 220))
+        text = " ".join(rng.choice(vocab, size=length))
+        if i and i % 23 == 5:
+            text = texts[i - 1]                     # exact dup
+        elif i and i % 37 == 7:
+            text = texts[i - 1] + " trailing extra tokens appended"
+        texts.append(text)
+        ids.append(f"doc{i:08d}")
+        htmls.append(
+            f"<html><head><title>Doc {i}</title>"
+            "<script>var a = 1;</script></head><body>"
+            f"<p>{text}</p><p>(c) example corp - all rights reserved"
+            "</p></body></html>")
+    tmp = f"{corpus_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    tbl = pa.table({"doc_id": pa.array(ids), "html": pa.array(htmls)})
+    # many row groups -> many Ray read blocks -> real parallelism
+    pq.write_table(tbl, f"{tmp}/crawl.parquet", row_group_size=2048)
+    ev = [texts[i] for i in range(0, n_docs, 97)]
+    pq.write_table(pa.table({"text": pa.array(ev)}),
+                   f"{tmp}/eval.parquet")
+    tg = [" ".join(rng.choice(target, size=int(rng.integers(60, 200))))
+          for _ in range(400)]
+    pq.write_table(pa.table({"text": pa.array(tg)}),
+                   f"{tmp}/target.parquet")
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    if not os.path.exists(os.path.join(corpus_dir, "_COMPLETE")):
+        os.makedirs(os.path.dirname(corpus_dir), exist_ok=True)
+        os.replace(tmp, corpus_dir)
+    return corpus_dir
+
+
+def run_curate_bench() -> dict:
+    """Timed end-to-end curate_pretrain chain (HTML extract -> fused
+    clean + exact/near dedup + decontamination -> DSIR selection ->
+    sequence packing -> deterministic shard export) over the staged
+    synthetic crawl — the 100-TB-product path, benchmarked whole."""
+    import shutil
+
+    import ray
+
+    probe_pre = _effective_cores()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ner_ray.pipelines.curate import curate_pretrain
+
+    n_docs = int(os.environ.get("NER_RAY_CURATE_DOCS", "30000"))
+    corpus_dir = _stage_curate_corpus(n_docs)
+    for name in os.listdir(corpus_dir):
+        with open(os.path.join(corpus_dir, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+    os.sync()
+    out_dir = f"/tmp/ner_ray_curate_out_{os.getpid()}"
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(f"{corpus_dir}/crawl.parquet")
+    eval_ds = rd.read_parquet(f"{corpus_dir}/eval.parquet")
+    target_ds = rd.read_parquet(f"{corpus_dir}/target.parquet")
+    manifest = curate_pretrain(
+        docs, html_col="html",
+        clean_kwargs={"langs": ("en",), "min_lang_score": 0.02,
+                      "near_dup_method": "minhash"},
+        eval_ds=eval_ds,
+        select=("dsir", target_ds, 0.6),
+        pack_tokens=512,
+        out_dir=out_dir, num_shards=32)
+    elapsed = time.perf_counter() - t0
+    n_seqs = int(manifest.get("total_rows", -1)) \
+        if isinstance(manifest, dict) else -1
+    shutil.rmtree(out_dir, ignore_errors=True)
+    result = {
+        "metric": "curate_pretrain_sec",
+        "value": round(elapsed, 3),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "n_packed_seqs": n_seqs,
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    probe_post = _effective_cores()
+    result["probe_pre"] = probe_pre
+    result["probe_post"] = probe_post
+    result["effective_cores"] = round(
+        (probe_pre["effective_cores"] + probe_post["effective_cores"])
+        / 2, 1)
+    return result
+
+
+def run_scaling_curate() -> dict:
+    """8-vs-32-CPU scaling of the END-TO-END curate chain (fresh
+    processes, identical staged input, min-of-k) — the same two-
+    parallelism-level evidence the flagship scaling run records, for
+    the pipeline a 100-TB corpus user actually ships."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   NER_RAY_BENCH_MODE="curate")
+        # 2x the plain-bench corpus so compute dominates the ~10 s
+        # fixed overhead (same rationale as run_scaling's replicas)
+        env.setdefault("NER_RAY_CURATE_DOCS", "60000")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, timeout=3600,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    repeats = int(os.environ.get("NER_RAY_SCALING_REPEATS", "2"))
+    lo_runs = [run(lo) for _ in range(repeats)]
+    hi_runs = [run(hi) for _ in range(repeats)]
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "curate_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "n_docs": r_lo["n_docs"],
+        "num_cpus": [lo, hi],
+        "effective_cores_8": r_lo.get("effective_cores"),
+        "effective_cores_32": r_hi.get("effective_cores"),
+        "samples_8": [r["value"] for r in lo_runs],
+        "samples_32": [r["value"] for r in hi_runs],
+        "repeats": repeats,
+    }
+
+
 def run_scaling() -> dict:
     """Same job, fresh processes, 8 vs 32 CPUs (the sandbox proxy for
     the N vs 4N node criterion — BASELINE.md). Uses a 3x larger corpus
@@ -334,7 +498,11 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-curate" in sys.argv:
+        print(json.dumps(run_scaling_curate()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get("NER_RAY_BENCH_MODE") == "curate":
+        print(json.dumps(run_curate_bench()))
     else:
         print(json.dumps(run_bench()))

@@ -18,6 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ner_ray.stages.textstats import LangIdStage, quality_batch
+from ner_ray.util.pools import auto_pool as _filter_pool
 
 
 class QualityFilterStage:
@@ -200,7 +201,7 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                 "min_lang_score": min_lang_score,
                 "max_top2gram_frac": max_top2gram_frac,
                 "max_dup5gram_frac": max_dup5gram_frac,
-            }, concurrency=(1, 8), num_cpus=1)
+            }, concurrency=_filter_pool(), num_cpus=1)
 
     fp_prev, filtered = _stage("clean_filter", [docs_fp, cfg_filter],
                                run_filter)

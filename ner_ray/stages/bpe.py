@@ -233,11 +233,16 @@ class BpeEncoder:
 
 def bpe_encode(ds, model: dict, text_col: str = "text",
                out_col: str = "bpe_tokens",
-               lowercase: bool | None = None, concurrency=(1, 4)):
+               lowercase: bool | None = None, concurrency=None):
     """Append a list<string> BPE-token column. The model broadcasts
-    once; encoding is a stateful actor-pool map (cache in __init__)."""
+    once; encoding is a stateful actor-pool map (cache in __init__).
+    ``concurrency`` defaults to a CPU-budget-sized pool."""
     import ray
 
+    if concurrency is None:
+        from ner_ray.util.pools import auto_pool
+
+        concurrency = auto_pool()
     ref = ray.put(model)
     return ds.map_batches(
         BpeEncoder, fn_constructor_kwargs={

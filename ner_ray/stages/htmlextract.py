@@ -118,11 +118,18 @@ class HtmlExtractStage:
 def extract_text_from_html(ds, html_col: str = "html",
                            text_col: str = "text",
                            title_col: str = "title",
-                           concurrency=(1, 4),
+                           concurrency=None,
                            drop_html: bool = True):
     """Append extracted ``text_col`` / ``title_col``; optionally drop
     the raw HTML column immediately so the heavy payload leaves the
-    stream at the earliest stage (prune-at-the-read rule)."""
+    stream at the earliest stage (prune-at-the-read rule).
+    ``concurrency`` defaults to a CPU-budget-sized pool (util/pools.py)
+    — parsing is the per-doc-heaviest stage of a crawl chain and a
+    fixed cap was the measured curate-scaling bottleneck."""
+    if concurrency is None:
+        from ner_ray.util.pools import auto_pool
+
+        concurrency = auto_pool()
     out = ds.map_batches(
         HtmlExtractStage, fn_constructor_kwargs={
             "html_col": html_col, "text_col": text_col,
