@@ -213,13 +213,110 @@ def _oriented_edges_broadcast(edges_ds, degrees_ds):
     return edges_ds.map_batches(orient, batch_format="pyarrow")
 
 
+def _triangle_rows_broadcast(edges_ds, degrees_ds, num_buckets: int):
+    """Fully int-encoded triangle listing for driver-sized node
+    tables (the two_hop_counts broadcast recipe applied to triangles):
+    orientation, wedge emission and the closing step all run on dense
+    int64 ids; wedges ship as (u, v*n+w code) scalar pairs and the
+    close is a per-bucket sorted-membership test against the oriented
+    edge codes — EXACT (codes are a bijection; the undirected edge set
+    is distinct), so the string-path's collision verify is unneeded.
+    Quadratic stages are bucket-sized from the driver-computed wedge
+    work bound sum(min(deg, sqrt(2m))^2)."""
+    import ray
+
+    dt = degrees_ds.to_pandas()
+    order = np.argsort(dt["node"].to_numpy())
+    labels = dt["node"].to_numpy()[order].astype("U")
+    degs = dt["degree"].to_numpy()[order].astype(np.int64)
+    n = len(labels)
+    ref = ray.put((labels, degs))
+    cap = np.sqrt(float(degs.sum()))          # oriented outdeg <= sqrt(2m)
+    work = float((np.minimum(degs, cap).astype(np.float64) ** 2).sum())
+    wedge_buckets = int(np.clip(work / 500_000, num_buckets, 65_536))
+    join_buckets = int(np.clip(work / 1_000_000, num_buckets, 65_536))
+
+    def orient_ids(t: pa.Table) -> pa.Table:
+        lab, dg = ray.get(ref)
+        a = np.searchsorted(lab, t.column("a").to_numpy(
+            zero_copy_only=False).astype("U"))
+        b = np.searchsorted(lab, t.column("b").to_numpy(
+            zero_copy_only=False).astype("U"))
+        da, db = dg[a], dg[b]
+        # ids are label-sorted ranks, so id order == label order and
+        # the (degree, label) tie-break is exactly (degree, id)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b).astype(np.int64)
+        return pa.table({
+            "src": pa.array(src),
+            "dst": pa.array(np.where(a_first, b, a).astype(np.int64)),
+            "dd": pa.array(np.where(a_first, db, da).astype(np.int64)),
+            "_bkt": pa.array(src % wedge_buckets),
+        })
+
+    def wedge_codes(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        dst = g.column("dst").to_numpy(zero_copy_only=False)
+        dd = g.column("dd").to_numpy(zero_copy_only=False)
+        o = np.lexsort((dst, dd, src))
+        src, dst = src[o], dst[o]
+        starts = np.concatenate(
+            [[0], np.nonzero(src[1:] != src[:-1])[0] + 1])
+        sizes = np.diff(np.concatenate([starts, [len(src)]]))
+        ai, bi = _pair_indices(sizes, np.ones(len(sizes), dtype=bool))
+        if len(ai) == 0:
+            return pa.table({"u": pa.array([], _I),
+                             "_c": pa.array([], _I),
+                             "_b2": pa.array([], _I)})
+        c = dst[ai] * n + dst[bi]
+        return pa.table({"u": pa.array(src[ai]), "_c": pa.array(c),
+                         "_b2": pa.array(c % join_buckets)})
+
+    def edge_codes(t: pa.Table) -> pa.Table:
+        c = (t.column("src").to_numpy(zero_copy_only=False) * n
+             + t.column("dst").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "u": pa.array(np.full(len(t), -1, np.int64)),  # edge marker
+            "_c": pa.array(c),
+            "_b2": pa.array(c % join_buckets),
+        })
+
+    oriented = edges_ds.map_batches(orient_ids, batch_format="pyarrow")
+    wedges = oriented.groupby("_bkt").map_groups(
+        lambda g: wedge_codes(g.drop_columns(["_bkt"])),
+        batch_format="pyarrow")
+    both = wedges.union(oriented.map_batches(edge_codes,
+                                             batch_format="pyarrow"))
+
+    def close(g: pa.Table) -> pa.Table:
+        lab, _ = ray.get(ref)
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        c = g.column("_c").to_numpy(zero_copy_only=False)
+        is_edge = u < 0
+        ec = np.unique(c[is_edge])
+        wu, wc = u[~is_edge], c[~is_edge]
+        if len(ec) == 0 or len(wc) == 0:
+            return pa.schema(
+                [("u", _S), ("v", _S), ("w", _S)]).empty_table()
+        idx = np.searchsorted(ec, wc)
+        hit = (idx < len(ec)) & (ec[np.minimum(idx, len(ec) - 1)] == wc)
+        wu, wc = wu[hit], wc[hit]
+        return pa.table({"u": pa.array(lab[wu], _S),
+                         "v": pa.array(lab[wc // n], _S),
+                         "w": pa.array(lab[wc % n], _S)})
+
+    return both.groupby("_b2").map_groups(close, batch_format="pyarrow")
+
+
 def triangle_rows(edges_ds, num_buckets: int | None = None,
                   max_broadcast_nodes: int | None = None):
     """Undirected distinct (a, b) pairs -> one (u, v, w) row per
     triangle, each triangle listed exactly once (u, v, w in
-    (degree, id)-rank order). Size dispatch: the degree table
-    broadcasts (map-only orientation) when driver-sized, else two
-    grouped degree-attach joins."""
+    (degree, id)-rank order). Size dispatch: driver-sized node tables
+    take the int-encoded broadcast path (_triangle_rows_broadcast);
+    above the cap, two grouped degree-attach joins orient and the
+    string-keyed wedge/close chain runs (fused-key join + collision
+    verify)."""
     if num_buckets is None:
         num_buckets = _auto_buckets(edges_ds)
     if max_broadcast_nodes is None:
@@ -231,9 +328,8 @@ def triangle_rows(edges_ds, num_buckets: int | None = None,
         return edges_ds.map_batches(lambda t: empty.empty_table(),
                                     batch_format="pyarrow")
     if n_nodes <= max_broadcast_nodes:
-        oriented = _oriented_edges_broadcast(edges_ds, degrees)
-    else:
-        oriented = _oriented_edges(edges_ds, degrees, num_buckets)
+        return _triangle_rows_broadcast(edges_ds, degrees, num_buckets)
+    oriented = _oriented_edges(edges_ds, degrees, num_buckets)
 
     def bucket(t: pa.Table) -> pa.Table:
         return t.append_column("_bkt", pa.array(
