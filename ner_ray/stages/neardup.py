@@ -218,12 +218,24 @@ def _distinct_pairs(pairs_ds, a_col: str, b_col: str, aggs=()):
     row mixing fields of both (a fabricated pair); carrying Min AND
     Max per id column and dropping groups where they disagree turns
     that into a dropped candidate — an epsilon recall loss, never a
-    wrong answer. ``aggs`` are extra ray.data aggregates per pair."""
+    wrong answer. ``aggs`` are extra ray.data aggregates per pair.
+
+    Map-side combiner: with no extra ``aggs``, each batch pre-dedups
+    on the fused key before the shuffle (one surviving row per key per
+    batch — a whole valid row, so the collision contract above is
+    unchanged), cutting shuffle volume by the within-batch duplication
+    factor (10x on the bench's edge projection). With ``aggs`` the raw
+    rows must reach the aggregate, so the combiner is skipped."""
     from ray.data.aggregate import Max, Min
 
     def keyed(t: pa.Table) -> pa.Table:
         k = hash_columns(t.column(a_col), t.column(b_col)).view(np.int64)
-        return t.append_column("_k", pa.array(k))
+        t = t.append_column("_k", pa.array(k))
+        if not aggs and len(t):
+            _, first = np.unique(k, return_index=True)
+            if len(first) < len(t):
+                t = t.take(pa.array(np.sort(first)))
+        return t
 
     out_cols = [a_col, b_col] + [a.name for a in aggs]
 
