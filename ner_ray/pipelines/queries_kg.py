@@ -742,7 +742,59 @@ def q_hll_distinct(sf_dir: str):
     })
 
 
-@q("q_sample")
+def _q_sample_sql() -> str:
+    """Full-oracle SQL for q_sample: the integer-id sampling uniform
+    is PORTABLE (splitmix64 + combine — hashing.sql_sample_uniform_ctes
+    emits the bit-exact DuckDB form, verified in tests/test_hashing.py),
+    so every keep decision of the blocklist -> per-domain-cap -> mix
+    chain is recomputed relationally: same uniform, same (u, id) cap
+    order, same IEEE mix-fraction arithmetic as mix_fractions()."""
+    from ner_ray.util.hashing import sql_sample_uniform_ctes
+
+    uct, ufinal = sql_sample_uniform_ctes(
+        "SELECT doc_id, source, domain FROM passed", "doc_id", 42)
+    d = "::DOUBLE"
+    tot = f"((0.5{d} + 0.3{d}) + 0.2{d})"
+    w = {k: f"({v}{d} / {tot})"
+         for k, v in (("src0", 0.5), ("src1", 0.3), ("src2", 0.2))}
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN 'spam.example.org'
+              ELSE coalesce(source, 'none') || '.example.com'
+         END AS domain
+  FROM documents),
+passed AS (
+  SELECT * FROM base
+  WHERE NOT (domain = 'example.org' OR domain LIKE '%.example.org')),
+{uct},
+capped AS (
+  SELECT doc_id, source, _u FROM (
+    SELECT doc_id, source, _u,
+           row_number() OVER (PARTITION BY domain
+                              ORDER BY _u, doc_id) AS _rn
+    FROM {ufinal}) WHERE _rn <= 15),
+cnt AS (
+  SELECT CAST(count(*) FILTER (source = 'src0') AS DOUBLE) AS c0,
+         CAST(count(*) FILTER (source = 'src1') AS DOUBLE) AS c1,
+         CAST(count(*) FILTER (source = 'src2') AS DOUBLE) AS c2
+  FROM capped),
+fr AS (
+  SELECT least(1.0{d}, (least(c0 / {w['src0']}, c1 / {w['src1']},
+                              c2 / {w['src2']}) * {w['src0']}) / c0) AS f0,
+         least(1.0{d}, (least(c0 / {w['src0']}, c1 / {w['src1']},
+                              c2 / {w['src2']}) * {w['src1']}) / c1) AS f1,
+         least(1.0{d}, (least(c0 / {w['src0']}, c1 / {w['src1']},
+                              c2 / {w['src2']}) * {w['src2']}) / c2) AS f2
+  FROM cnt)
+SELECT capped.doc_id, capped.source
+FROM capped, fr
+WHERE _u < CASE capped.source WHEN 'src0' THEN f0 WHEN 'src1' THEN f1
+           WHEN 'src2' THEN f2 ELSE 0.0{d} END
+"""
+
+
+@q("q_sample", sql=_q_sample_sql())
 def q_sample(sf_dir: str):
     """O4 sampling + URL/domain curation in one graded chain (merged
     for the driver's 50-row budget): synthesize a deterministic url
@@ -754,11 +806,13 @@ def q_sample(sf_dir: str):
     counting, mix_fractions with the scarcest domain binding at 1.0,
     stratified hash-threshold sample). Every keep decision is a pure
     function of (doc_id, seed) — identical on any block layout,
-    cluster size or retry, unlike Ray's random_sample. Rows-only:
-    DuckDB cannot replicate the 64-bit seed-stable hash; the
-    SQL-replicable order="id" cap variant is DuckDB-equivalence-tested
-    in tests/test_urlfilter.py, layout independence and the mixture
-    math in tests/test_sampling.py."""
+    cluster size or retry, unlike Ray's random_sample. VALUE-matched:
+    integer-id uniforms use the portable splitmix64 path
+    (hashing.splitmix_hash), which the oracle SQL recomputes
+    bit-exactly (_q_sample_sql), so blocklist, cap order and the
+    IEEE mix-fraction thresholds all replicate in DuckDB; layout
+    independence and mixture math in tests/test_sampling.py,
+    order="id" cap equivalence in tests/test_urlfilter.py."""
     from ner_ray.stages.sampling import downsample_to_mix
     from ner_ray.stages.urlfilter import cap_per_domain, filter_blocklist
 

@@ -23,14 +23,31 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ner_ray.util.hashing import combine_hashes, hash_column, hash_str
+from ner_ray.util.hashing import (
+    combine_hashes,
+    hash_column,
+    hash_str,
+    splitmix_hash,
+)
 
 _TWO64 = float(2 ** 64)
 
 
 def _uniform01(ids, seed: int) -> np.ndarray:
-    """Seed-stable U[0,1) per id (vectorized)."""
-    h = hash_column(ids)
+    """Seed-stable U[0,1) per id (vectorized).
+
+    Integer ids take the PORTABLE path (splitmix64 of the bit pattern
+    — recomputable in any SQL engine; the DuckDB correctness oracle
+    replicates it bit-exactly via hashing.sql_sample_uniform_ctes, so
+    integer-keyed sampling decisions are value-matchable, not just
+    self-consistent). String/other ids fall back to the SipHash-based
+    hash_column (deterministic in-process, engine-specific).
+    """
+    if hasattr(ids, "to_pandas"):  # pyarrow Array / ChunkedArray
+        ids = ids.to_pandas()
+    s = ids if isinstance(ids, pd.Series) else pd.Series(ids)
+    h = (splitmix_hash(s) if pd.api.types.is_integer_dtype(s.dtype)
+         else hash_column(s))
     sconst = np.full(len(h), np.uint64(hash_str(f"sample-seed:{seed}")),
                      dtype=np.uint64)
     return combine_hashes(h, sconst).astype(np.float64) / _TWO64

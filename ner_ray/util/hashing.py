@@ -68,3 +68,88 @@ def to_bucket(h: np.ndarray, n_buckets: int) -> np.ndarray:
 def hash_str(value: str) -> int:
     """Scalar convenience wrapper (tests, salting single keys)."""
     return int(hash_column(pd.Series([value]))[0])
+
+
+# ------------------------------------------------------------------
+# Portable integer hashing (SQL-replicable)
+#
+# hash_column rides pandas' SipHash-like kernel — deterministic, but
+# not reproducible outside this process stack. Sampling DECISIONS
+# (keep/drop per row) are part of a pipeline's auditable contract, so
+# for integer keys we use pure splitmix64 of the two's-complement bit
+# pattern: any engine with 64-bit integer arithmetic can recompute it,
+# and the DuckDB correctness oracle does (the generators below emit
+# the bit-exact SQL). splitmix64 is a bijective finalizer with full
+# avalanche — ample mixing for sampling uniforms.
+# ------------------------------------------------------------------
+
+_TWO32_I = 4294967296
+_TWO64_I = 18446744073709551616
+
+
+def splitmix_hash(values) -> np.ndarray:
+    """Portable uint64 hash of an INTEGER column: splitmix64 of the
+    int64 two's-complement bit pattern (no pandas kernel involved)."""
+    if hasattr(values, "to_pandas"):  # pyarrow Array / ChunkedArray
+        values = values.to_pandas()
+    arr = np.asarray(values, dtype=np.int64).view(np.uint64)
+    return _splitmix(arr)
+
+
+def _sql_mul64(a: str, b: int) -> str:
+    """DuckDB expression for (a * b) mod 2^64, a a HUGEINT expression
+    in [0, 2^64), b a constant — split into 32-bit halves because a
+    full 64x64 product overflows INT128."""
+    lo, hi = b & 0xFFFFFFFF, b >> 32
+    return (
+        f"(((({a}) % {_TWO32_I}::HUGEINT) * {lo}::HUGEINT + "
+        f"(((({a}) % {_TWO32_I}::HUGEINT) * {hi}::HUGEINT + "
+        f"(({a}) >> 32) * {lo}::HUGEINT) % {_TWO32_I}::HUGEINT) * "
+        f"{_TWO32_I}::HUGEINT) % {_TWO64_I}::HUGEINT)")
+
+
+def _sql_splitmix_steps(col_in: str, tag: str):
+    """Stepwise splitmix64 as (column, expression) pairs (nesting the
+    expressions textually would grow exponentially)."""
+    a, b, c, d, e = (f"_{tag}{i}" for i in range(1, 6))
+    return [
+        (a, f"xor({col_in}, ({col_in}) >> 30)"),
+        (b, _sql_mul64(a, int(_MIX1))),
+        (c, f"xor({b}, {b} >> 27)"),
+        (d, _sql_mul64(c, int(_MIX2))),
+        (e, f"xor({d}, {d} >> 31)"),
+    ], e
+
+
+def sql_sample_uniform_ctes(source_sql: str, id_col: str, seed: int,
+                            prefix: str = "smp") -> tuple[str, str]:
+    """DuckDB CTE chain recomputing stages/sampling._uniform01 for
+    integer ids BIT-EXACTLY (verified in tests/test_hashing.py over
+    random ids): splitmix64(id) combined with the seed constant via
+    combine_hashes, then cast to DOUBLE / 2^64 (DuckDB's HUGEINT ->
+    DOUBLE cast is the same round-half-even as numpy's).
+
+    Returns (cte_body, final_cte_name); the final CTE carries every
+    column of ``source_sql`` plus a DOUBLE column ``_u``.
+    """
+    sconst = int(hash_str(f"sample-seed:{seed}"))
+    steps = [("_x0",
+              f"CAST(CASE WHEN {id_col} < 0 "
+              f"THEN CAST({id_col} AS HUGEINT) + {_TWO64_I}::HUGEINT "
+              f"ELSE CAST({id_col} AS HUGEINT) END AS HUGEINT)")]
+    sm1, h = _sql_splitmix_steps("_x0", "a")
+    steps += sm1
+    # combine_hashes(h, sconst): out = splitmix(((SEED^h)*G ^ sconst)*G)
+    steps.append(("_t1", _sql_mul64(f"xor({int(_SEED)}::HUGEINT, {h})",
+                                    int(_GOLDEN))))
+    steps.append(("_t2", _sql_mul64(f"xor(_t1, {sconst}::HUGEINT)",
+                                    int(_GOLDEN))))
+    sm2, f = _sql_splitmix_steps("_t2", "b")
+    steps += sm2
+    steps.append(("_u", f"CAST({f} AS DOUBLE) / 18446744073709551616.0"))
+    ctes, prev = [], f"({source_sql})"
+    for i, (col, expr) in enumerate(steps):
+        name = f"{prefix}{i}"
+        ctes.append(f"{name} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = name
+    return ",\n".join(ctes), prev

@@ -62,3 +62,41 @@ def test_buckets_in_range():
 def test_int_columns_hashable():
     h = hash_column(pd.Series([1, 2, 3], dtype="int64"))
     assert len(set(h.tolist())) == 3
+
+
+def test_splitmix_hash_matches_sql():
+    """The portable integer-hash path (splitmix_hash + the sampling
+    uniform built on it) must be BIT-EXACTLY replicable in DuckDB via
+    sql_sample_uniform_ctes — this is what makes integer-keyed
+    sampling decisions value-matchable by the correctness oracle."""
+    import duckdb
+
+    from ner_ray.stages.sampling import _uniform01
+    from ner_ray.util.hashing import sql_sample_uniform_ctes
+
+    rng = np.random.default_rng(11)
+    ids = np.concatenate([
+        rng.integers(0, 2 ** 62, 20000),
+        np.arange(100),
+        np.array([-1, -7, 2 ** 63 - 1, -2 ** 63]),
+    ]).astype(np.int64)
+    for seed in (42, 7):
+        want = _uniform01(pd.Series(ids), seed)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"id": ids}))
+        ctes, final = sql_sample_uniform_ctes(
+            "SELECT id FROM t", "id", seed)
+        got = con.execute(
+            f"WITH {ctes} SELECT _u FROM {final}").fetchnumpy()["_u"]
+        assert np.array_equal(got, want)
+
+
+def test_splitmix_hash_mixes():
+    from ner_ray.util.hashing import splitmix_hash
+
+    h = splitmix_hash(pd.Series(np.arange(100000, dtype=np.int64)))
+    assert len(set(h.tolist())) == 100000
+    b = to_bucket(h, 64)
+    counts = np.bincount(b, minlength=64)
+    # sequential ids must spread uniformly across buckets
+    assert counts.min() > 100000 / 64 * 0.9
