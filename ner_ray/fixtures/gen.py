@@ -488,12 +488,15 @@ def derive_gold(docs: pa.Table, alias_tbl: pa.Table, model_tbl: pa.Table) -> dic
     mentions: list[dict] = []
     links: list[dict] = []
     triples: list[dict] = []
+    posteriors: list[dict] = []
     for doc_id, spans in zip(docs.column("doc_id").to_pylist(),
                              docs.column("spans").to_pylist()):
         out = oracle.run_doc(doc_id, spans, model, alias_types, candidates)
         mentions.extend(out.mentions)
         links.extend(out.links)
         triples.extend(out.triples)
+        posteriors.extend(
+            oracle.run_doc_posteriors(doc_id, spans, model, alias_types))
 
     canon = oracle.components_from_alias(alias_rows)
     deduped = oracle.dedup_triples(triples)
@@ -515,6 +518,7 @@ def derive_gold(docs: pa.Table, alias_tbl: pa.Table, model_tbl: pa.Table) -> dic
         {"entity_id": e, "canonical_id": c} for e, c in sorted(canon.items())
     ]
     return {
+        "gold_posteriors": tbl(posteriors, S.POSTERIORS),
         "gold_mentions": tbl(mentions, S.MENTIONS),
         "gold_links": tbl(links, S.LINKS),
         "gold_triples": tbl(triple_rows, S.TRIPLES),

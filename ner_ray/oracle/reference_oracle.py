@@ -446,3 +446,57 @@ def adjacency(resolved: list[dict]) -> list[dict]:
             }
         )
     return out
+
+
+# -------------------------------------------------- posterior scoring
+
+
+def _logsumexp_1d(v: np.ndarray) -> float:
+    m = float(np.max(v))
+    return m + float(np.log(np.sum(np.exp(v - m))))
+
+
+def posterior_marginals(E: np.ndarray, trans: np.ndarray,
+                        start: np.ndarray) -> np.ndarray:
+    """Forward-backward tag marginals P(y_t = y | x) for ONE sequence
+    (log space, plain per-position loops). This is the independent
+    golden for the distributed batched kernel in
+    stages/tagger._posteriors_batch (the --post scoring mode)."""
+    T = E.shape[0]
+    alpha = np.zeros((T, N_LABELS))
+    beta = np.zeros((T, N_LABELS))
+    alpha[0] = start + E[0]
+    for t in range(1, T):
+        for y in range(N_LABELS):
+            alpha[t, y] = _logsumexp_1d(alpha[t - 1] + trans[:, y]) + E[t, y]
+    for t in range(T - 2, -1, -1):
+        for y in range(N_LABELS):
+            beta[t, y] = _logsumexp_1d(beta[t + 1] + trans[y, :] + E[t + 1])
+    log_z = _logsumexp_1d(alpha[T - 1])
+    return np.exp(alpha + beta - log_z)
+
+
+def run_doc_posteriors(doc_id: str, spans: list[dict], model: OracleModel,
+                       alias_types: dict[str, str]) -> list[dict]:
+    """One row per token: the Viterbi tag and its forward-backward
+    marginal, rounded half-even at 6 dp (np.round scaling semantics —
+    the output contract shared with stages/tagger.PosteriorActor)."""
+    rows = []
+    for span_idx, span in enumerate(spans):
+        if span["kind"] != "text" or not span["text"]:
+            continue
+        tokens = tokenize(span["text"])
+        if not tokens:
+            continue
+        norms = [norm(t) for t in tokens]
+        gaz = gazetteer_flags(norms, alias_types)
+        E = emission_scores(tokens, norms, gaz, model)
+        tags = viterbi(E, model.trans, model.start)
+        marg = posterior_marginals(E, model.trans, model.start)
+        for t, (tok, y) in enumerate(zip(tokens, tags)):
+            rows.append({
+                "doc_id": doc_id, "span_idx": span_idx, "tok_idx": t,
+                "token": tok, "tag": LABELS[y],
+                "post": float(np.round(marg[t, y], 6)),
+            })
+    return rows

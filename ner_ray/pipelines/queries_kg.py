@@ -356,11 +356,21 @@ def q_train_eval(_sf_dir: str):
     })
 
 
-@q("q_posterior")
+@q("q_posterior", sql=f"""
+SELECT doc_id, span_idx, tok_idx, token, tag, post
+FROM read_parquet('{_SMALL}/gold_posteriors.parquet')
+""")
 def q_posterior(_sf_dir: str):
     """A2 forward-backward confidence: one row per token with the
-    Viterbi tag and its marginal probability (reference --post mode;
-    validated against brute-force enumeration in tests — rows-only)."""
+    Viterbi tag and its marginal probability (reference --post mode).
+    VALUE-matched: the golden is produced by an INDEPENDENT sequential
+    log-space forward-backward in the frozen oracle
+    (reference_oracle.posterior_marginals — per-position scalar loops,
+    no shared code with the batched padded kernel in
+    stages/tagger._posteriors_batch), over oracle-side tokenization,
+    features and emissions; both sides round half-even at 6 dp. The
+    batched kernel is additionally validated against brute-force path
+    enumeration in tests/test_posterior.py."""
     import ray.data as rd
 
     from ner_ray.stages.spans import flatten_text_spans

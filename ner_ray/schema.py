@@ -111,6 +111,17 @@ ADJACENCY = pa.schema(
     ]
 )
 
+POSTERIORS = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+        ("tok_idx", pa.int32()),
+        ("token", pa.string()),
+        ("tag", pa.string()),
+        ("post", pa.float64()),
+    ]
+)
+
 ALIAS_DICT = pa.schema(
     [
         ("alias", pa.string()),

@@ -83,3 +83,20 @@ def test_posterior_actor_pipeline(ray_session, tiny_dir):
     # ~ 0.87 floor for O tokens, higher for gaz-flagged)
     assert out["post"].median() > 0.8
     assert out["post"].mean() > 0.8
+
+
+@pytest.mark.parametrize("seed,T", [(0, 1), (4, 3), (5, 8), (6, 17)])
+def test_oracle_marginals_match_batched_kernel(seed, T):
+    """The golden-producing sequential forward-backward in the frozen
+    oracle must agree with the distributed batched kernel (q_posterior
+    value-matches the two after shared 6-dp rounding)."""
+    from ner_ray.oracle.reference_oracle import posterior_marginals
+
+    rng = np.random.default_rng(seed)
+    E = rng.normal(size=(T, N_LABELS))
+    trans = rng.normal(size=(N_LABELS, N_LABELS))
+    start = rng.normal(size=N_LABELS)
+    got = _posteriors_batch(E, np.zeros(T, dtype=np.int64), np.arange(T),
+                            np.array([T]), trans, start)
+    want = posterior_marginals(E, trans, start)
+    assert np.allclose(got, want, atol=1e-12)
