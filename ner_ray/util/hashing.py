@@ -121,6 +121,89 @@ def _sql_splitmix_steps(col_in: str, tag: str):
     ], e
 
 
+_FNV_BASIS = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def portable_text_hash(values) -> np.ndarray:
+    """Portable uint64 hash of a STRING column: FNV-1a over Unicode
+    CODE POINTS (not bytes — both numpy's UCS4 view and DuckDB's
+    unicode() see code points natively), finished with splitmix64 for
+    avalanche. Null hashes as the empty string. Vectorized: the column
+    becomes one padded UCS4 matrix and the fold runs one masked numpy
+    op per character position. Caveat (documented, not hit by any
+    corpus here): an embedded NUL ends the numpy-side string early.
+    """
+    if hasattr(values, "to_pandas"):  # pyarrow Array / ChunkedArray
+        values = values.to_pandas()
+    s = pd.Series(values).fillna("")
+    arr = np.asarray(s, dtype="U")
+    h = np.full(len(s), _FNV_BASIS, dtype=np.uint64)
+    maxlen = arr.dtype.itemsize // 4
+    if maxlen:
+        mat = arr.view(np.uint32).reshape(len(s), maxlen)
+        for j in range(maxlen):
+            cp = mat[:, j].astype(np.uint64)
+            active = cp != 0
+            if not active.any():
+                break
+            h = np.where(active, (h ^ cp) * _FNV_PRIME, h)
+    return _splitmix(h)
+
+
+def sql_text_hash_steps(text_col: str, tag: str):
+    """(column, expression) steps recomputing portable_text_hash in
+    DuckDB: FNV-1a fold via list_reduce over unicode code points, then
+    the stepwise splitmix64 finalizer. Feed to sql_steps_to_ctes."""
+    fold = (
+        f"list_reduce(list_prepend({int(_FNV_BASIS)}::HUGEINT, "
+        f"list_transform(string_split(coalesce({text_col}, ''), ''), "
+        f"c -> CAST(unicode(c) AS HUGEINT))), "
+        f"(h, cp) -> {_sql_mul64('xor(h, cp)', int(_FNV_PRIME))})")
+    raw = f"_{tag}f"
+    steps = [(raw,
+              f"CASE WHEN coalesce({text_col}, '') = '' "
+              f"THEN {int(_FNV_BASIS)}::HUGEINT ELSE {fold} END")]
+    sm, final = _sql_splitmix_steps(raw, tag)
+    return steps + sm, final
+
+
+def sql_int_hash_steps(id_col: str, tag: str):
+    """(column, expression) steps recomputing splitmix_hash for an
+    integer column in DuckDB (two's-complement into [0, 2^64), then
+    stepwise splitmix64)."""
+    raw = f"_{tag}x"
+    steps = [(raw,
+              f"CAST(CASE WHEN {id_col} < 0 "
+              f"THEN CAST({id_col} AS HUGEINT) + {_TWO64_I}::HUGEINT "
+              f"ELSE CAST({id_col} AS HUGEINT) END AS HUGEINT)")]
+    sm, final = _sql_splitmix_steps(raw, tag)
+    return steps + sm, final
+
+
+def sql_combine_steps(hash_cols: list[str], tag: str):
+    """(column, expression) steps recomputing combine_hashes over
+    already-hashed HUGEINT columns."""
+    steps, acc = [], f"{int(_SEED)}::HUGEINT"
+    for i, h in enumerate(hash_cols):
+        col = f"_{tag}c{i}"
+        steps.append((col, _sql_mul64(f"xor({acc}, {h})", int(_GOLDEN))))
+        acc = col
+    sm, final = _sql_splitmix_steps(acc, f"{tag}z")
+    return steps + sm, final
+
+
+def sql_steps_to_ctes(source_sql: str, steps, prefix: str):
+    """Chain (column, expression) steps into named CTEs; returns
+    (cte_body, final_cte_name)."""
+    ctes, prev = [], f"({source_sql})"
+    for i, (col, expr) in enumerate(steps):
+        name = f"{prefix}{i}"
+        ctes.append(f"{name} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = name
+    return ",\n".join(ctes), prev
+
+
 def sql_sample_uniform_ctes(source_sql: str, id_col: str, seed: int,
                             prefix: str = "smp") -> tuple[str, str]:
     """DuckDB CTE chain recomputing stages/sampling._uniform01 for
@@ -147,9 +230,4 @@ def sql_sample_uniform_ctes(source_sql: str, id_col: str, seed: int,
     sm2, f = _sql_splitmix_steps("_t2", "b")
     steps += sm2
     steps.append(("_u", f"CAST({f} AS DOUBLE) / 18446744073709551616.0"))
-    ctes, prev = [], f"({source_sql})"
-    for i, (col, expr) in enumerate(steps):
-        name = f"{prefix}{i}"
-        ctes.append(f"{name} AS (SELECT *, {expr} AS {col} FROM {prev})")
-        prev = name
-    return ",\n".join(ctes), prev
+    return sql_steps_to_ctes(source_sql, steps, prefix)
