@@ -545,15 +545,126 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
-@q("q_neardup_pairs")
+def _q_neardup_pairs_sql() -> str:
+    """Full-oracle SQL for q_neardup_pairs: with shingle/word hashing
+    on the portable path, DuckDB replays BOTH detectors end-to-end —
+    minhash signatures (same uint64-wrap permutations mod 2^61-1),
+    the band-hash fold, band-bucket candidate pairs, the exact
+    shingle-Jaccard verify, the simhash sign-sum fingerprints and the
+    brute-force Hamming<=k pair scan (exactness of the clean-block
+    banding means brute force IS the contract). Integer arithmetic
+    throughout except the Jaccard division (same int-ratio double both
+    sides, round_even == np.round)."""
+    from ner_ray.stages.neardup import _A, _B, _MERSENNE
+    from ner_ray.util.hashing import (
+        _GOLDEN,
+        _sql_mul64,
+        _sql_mul64_var,
+        sql_steps_to_ctes,
+        sql_text_hash_steps,
+    )
+
+    perm_rows = ", ".join(
+        f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(_A, _B)))
+    t64 = "18446744073709551616::HUGEINT"
+    ssteps, scol = sql_text_hash_steps("sh", "s")
+    sct, sfin = sql_steps_to_ctes("SELECT doc_id, sh FROM shing",
+                                  ssteps, "sh")
+    wsteps, wcol = sql_text_hash_steps("w", "w")
+    wct, wfin = sql_steps_to_ctes("SELECT doc_id, w FROM swords",
+                                  wsteps, "wh")
+    hv = f"((({_sql_mul64_var(scol, 'p.a')}) + p.b) % {t64}) " \
+         f"% {int(_MERSENNE)}::HUGEINT"
+    band_fold = (
+        f"list_reduce(list_prepend({int(_GOLDEN)}::HUGEINT, svs), "
+        f"(acc, s) -> {_sql_mul64('xor(acc, s)', 0x100000001B3)})")
+    signed = ("CASE WHEN {f} >= 9223372036854775808::HUGEINT "
+              f"THEN CAST({{f}} - {t64} AS BIGINT) "
+              "ELSE CAST({f} AS BIGINT) END")
+    ws_chars = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return f"""
+WITH wlist AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                   '\\s+'),
+                             x -> x <> '') AS ws
+  FROM documents),
+shing AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM wlist),
+{sct},
+perms(i, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT doc_id, p.i, min({hv}) AS sv
+  FROM {sfin} s CROSS JOIN perms p GROUP BY doc_id, p.i),
+bnd AS (
+  SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+         list(sv ORDER BY i) AS svs
+  FROM sig GROUP BY doc_id, i // 4),
+bh AS (SELECT doc_id, band_id, {band_fold} AS band_hash FROM bnd),
+mcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bh a JOIN bh b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+cs AS (SELECT DISTINCT doc_id, sh FROM shing),
+csz AS (SELECT doc_id, count(*) AS m FROM cs GROUP BY doc_id),
+mint AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS ic
+  FROM mcand p
+  JOIN cs a ON a.doc_id = p.doc_a
+  JOIN cs b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b),
+mj AS (
+  SELECT p.doc_a, p.doc_b,
+         round_even(CAST(coalesce(ic, 0) AS DOUBLE)
+                    / greatest(CAST(sa.m AS DOUBLE) + CAST(sb.m AS DOUBLE)
+                               - CAST(coalesce(ic, 0) AS DOUBLE), 1.0),
+                    6) AS jaccard
+  FROM mcand p
+  LEFT JOIN mint USING (doc_a, doc_b)
+  JOIN csz sa ON sa.doc_id = p.doc_a
+  JOIN csz sb ON sb.doc_id = p.doc_b),
+swords AS (SELECT doc_id, unnest(ws) AS w FROM wlist),
+{wct},
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN ({wcol} >> j) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM {wfin} CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::HUGEINT << j)
+             ELSE 0::HUGEINT END) AS f
+  FROM votes GROUP BY doc_id),
+nonempty AS (
+  SELECT doc_id FROM documents
+  WHERE trim(coalesce(text, ''), {ws_chars}) <> ''),
+spairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor({signed.format(f='a.f')},
+                       {signed.format(f='b.f')})) AS ham
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  JOIN nonempty na ON na.doc_id = a.doc_id
+  JOIN nonempty nb ON nb.doc_id = b.doc_id)
+SELECT 'minhash' AS method, doc_a, doc_b, jaccard AS score
+FROM mj WHERE jaccard >= 0.7
+UNION ALL
+SELECT 'simhash' AS method, doc_a, doc_b, CAST(ham AS DOUBLE) AS score
+FROM spairs WHERE ham <= 3
+"""
+
+
+@q("q_neardup_pairs", sql=_q_neardup_pairs_sql())
 def q_neardup_pairs(sf_dir: str):
     """MinHash-LSH (banded candidates + exact-Jaccard verify) AND
-    SimHash (4x16-bit band buckets + Hamming verify) near-dup pair
-    listings in one graded entry, marked by the method column (merged
-    for the driver's 50-row correctness budget — no SQL: signature
-    banding is engine-specific; both detectors are verified in tests
-    against planted duplicates). score = jaccard for minhash rows,
-    hamming distance for simhash rows."""
+    SimHash (clean-block-subset banding, exact for Hamming<=k) near-dup
+    pair listings in one graded entry, marked by the method column
+    (merged for the driver's 50-row correctness budget). VALUE-matched:
+    shingle/word hashes use the portable code-point-FNV/splitmix path,
+    so _q_neardup_pairs_sql replays signatures, banding, candidate
+    buckets and both verifies relationally in DuckDB. score = jaccard
+    for minhash rows, hamming distance for simhash rows."""
     from ner_ray.stages.neardup import minhash_near_dups, simhash_near_dups
 
     def mark(method, score_col):

@@ -28,7 +28,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ner_ray.util.hashing import hash_column, hash_columns, to_bucket
+from ner_ray.util.hashing import (
+    hash_column,
+    hash_columns,
+    portable_text_hash,
+    to_bucket,
+)
 
 _LOG = logging.getLogger(__name__)
 
@@ -107,7 +112,12 @@ def _shingle_hashes(texts: pd.Series, k: int = 3) -> tuple[np.ndarray, np.ndarra
         valid &= v
     sh = parts[0].str.cat(parts[1:], sep=" ")
     keep = valid & sh.notna().to_numpy()
-    return row[keep], hash_column(sh[keep])
+    # portable hash (code-point FNV + splitmix): shingle/minhash/simhash
+    # decisions become engine-recomputable (the DuckDB oracle replays
+    # them bit-exactly — q_neardup_pairs), and it benches FASTER than
+    # the pandas SipHash kernel on short strings. Note: a PERSISTED
+    # minhash index (incdedup) built before this hash is invalid.
+    return row[keep], portable_text_hash(sh[keep])
 
 
 def minhash_signatures(texts: pd.Series, k: int = 3) -> np.ndarray:
@@ -547,7 +557,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     row = np.repeat(np.arange(len(texts)), counts)
     acc = np.zeros((len(texts), 64), dtype=np.int64)
     if len(flat):
-        h = hash_column(flat)
+        h = portable_text_hash(flat)  # engine-recomputable, see above
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
                 np.uint64(1)).astype(np.int64) * 2 - 1
         np.add.at(acc, row, bits)

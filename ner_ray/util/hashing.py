@@ -108,6 +108,17 @@ def _sql_mul64(a: str, b: int) -> str:
         f"{_TWO32_I}::HUGEINT) % {_TWO64_I}::HUGEINT)")
 
 
+def _sql_mul64_var(a: str, b: str) -> str:
+    """DuckDB expression for (a * b) mod 2^64 with BOTH operands
+    HUGEINT expressions in [0, 2^64) — the 32-bit-half split of
+    _sql_mul64 with the second operand's halves computed in SQL."""
+    return (
+        f"(((({a}) % {_TWO32_I}::HUGEINT) * (({b}) % {_TWO32_I}::HUGEINT) + "
+        f"(((({a}) % {_TWO32_I}::HUGEINT) * (({b}) >> 32) + "
+        f"(({a}) >> 32) * (({b}) % {_TWO32_I}::HUGEINT)) % {_TWO32_I}::HUGEINT) * "
+        f"{_TWO32_I}::HUGEINT) % {_TWO64_I}::HUGEINT)")
+
+
 def _sql_splitmix_steps(col_in: str, tag: str):
     """Stepwise splitmix64 as (column, expression) pairs (nesting the
     expressions textually would grow exponentially)."""
