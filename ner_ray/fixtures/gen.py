@@ -467,6 +467,87 @@ def gen_model(rng: np.random.Generator, alias_tbl: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------- gold
 
 
+MEDIA_GOLD = pa.schema([
+    ("doc_id", pa.string()), ("span_idx", pa.int64()),
+    ("media_ref", pa.string()), ("kind", pa.string()),
+    ("width", pa.int64()), ("height", pa.int64()),
+    ("n_bytes", pa.int64()), ("feature_sig", pa.string()),
+    ("n_frames_sampled", pa.int64()), ("frames_sig", pa.string()),
+    ("sample_rate", pa.int64()), ("channels", pa.int64()),
+    ("n_frames", pa.int64()), ("duration_s", pa.float64()),
+    ("peak", pa.int64()), ("img_format", pa.string()),
+    ("img_width", pa.int64()), ("img_height", pa.int64()),
+    ("img_channels", pa.int64()), ("mean_luma", pa.float64()),
+])
+
+
+def derive_media_gold(docs: pa.Table) -> pa.Table:
+    """Golden for q_media, recomputed WITHOUT the pipeline stages:
+    the fake-decoder / frame-sampler columns come from their
+    documented hash contracts (plain scalar loops, not the stages'
+    vectorized kernels), the audio columns from the WAV GENERATION
+    parameters (16-bit PCM encode is lossless, so a correct decoder
+    must recover exactly these), and the image columns from the
+    generation parameters and pre-encode pixels (PNG/BMP/netpbm are
+    lossless). Sentinels (-1 / '') stand in for the stage's typed
+    nulls in the other kind's columns — the graded projection
+    coalesces identically."""
+    from ner_ray.util.hashing import hash_str
+
+    rows = []
+    for doc_id, spans in zip(docs.column("doc_id").to_pylist(),
+                             docs.column("spans").to_pylist()):
+        for si, sp in enumerate(spans):
+            if sp["kind"] == "text":
+                continue
+            ref = sp["media_ref"]
+            h = hash_str(ref)
+            n_fr = 1 + h % 100
+            n_s = min((n_fr + 9) // 10, 8)
+            row = {
+                "doc_id": doc_id, "span_idx": si, "media_ref": ref,
+                "kind": sp["kind"],
+                "width": 64 + h % 1024,
+                "height": 64 + (h >> 10) % 1024,
+                "n_bytes": (64 + h % 1024) * (64 + (h >> 10) % 1024) * 3,
+                "feature_sig": "|".join(
+                    str((h >> (8 * (d % 8))) & 0xFF) for d in range(8)),
+                "n_frames_sampled": n_s,
+                "frames_sig": "|".join(
+                    f"{ref}#frame={i * 10}" for i in range(n_s)),
+                "sample_rate": -1, "channels": -1, "n_frames": -1,
+                "duration_s": -1.0, "peak": -1, "img_format": "",
+                "img_width": -1, "img_height": -1, "img_channels": -1,
+                "mean_luma": -1.0,
+            }
+            if sp["kind"] == "audio":
+                p = wav_params_for(ref)
+                t = np.arange(p["n_frames"] * p["channels"],
+                              dtype=np.float64)
+                samples = (p["amp"] * np.sin(
+                    2.0 * np.pi * p["freq_hz"] * t
+                    / p["sample_rate"])).astype("<i2")
+                row.update(
+                    sample_rate=p["sample_rate"], channels=p["channels"],
+                    n_frames=p["n_frames"],
+                    duration_s=p["n_frames"] / p["sample_rate"],
+                    peak=int(np.abs(samples.astype(np.int32)).max()))
+            else:
+                p = image_params_for(ref)
+                img = image_pixels_for(ref)
+                if img.ndim == 2:
+                    y = img.astype(np.float64)
+                else:
+                    y = img[:, :, :3].astype(np.float64) @ np.array(
+                        [0.299, 0.587, 0.114])
+                row.update(
+                    img_format=p["format"], img_width=p["width"],
+                    img_height=p["height"], img_channels=p["channels"],
+                    mean_luma=float(y.mean()))
+            rows.append(row)
+    return pa.Table.from_pylist(rows, schema=MEDIA_GOLD)
+
+
 def derive_gold(docs: pa.Table, alias_tbl: pa.Table, model_tbl: pa.Table) -> dict[str, pa.Table]:
     """Run the reference oracle over every doc -> golden tables."""
     model = oracle.OracleModel.from_rows(
@@ -518,6 +599,7 @@ def derive_gold(docs: pa.Table, alias_tbl: pa.Table, model_tbl: pa.Table) -> dic
         {"entity_id": e, "canonical_id": c} for e, c in sorted(canon.items())
     ]
     return {
+        "gold_media": derive_media_gold(docs),
         "gold_posteriors": tbl(posteriors, S.POSTERIORS),
         "gold_mentions": tbl(mentions, S.MENTIONS),
         "gold_links": tbl(links, S.LINKS),

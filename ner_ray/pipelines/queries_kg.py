@@ -867,10 +867,48 @@ def q_ann_topk(sf_dir: str):
     return out.select_columns(["vec_id", "sim"])
 
 
-@q("q_ann_lsh")
+def _q_ann_lsh_sql() -> str:
+    """Full-oracle SQL for q_ann_lsh: the seeded hyperplanes are
+    embedded as exact (repr round-trip) double literals, buckets are
+    recomputed as sign patterns of raw dot products (sign-equivalent
+    to the normalized dots the stage uses — positive scaling), the
+    Hamming<=1 probe is bit_count(xor), and candidates score exact
+    cosine (round_even 6 matches np.round). Assumes the embeddings
+    table has 64-d vectors and vec_id 0 as the query, as every graded
+    sf does."""
+    from ner_ray.stages.similarity import N_PLANES, _planes_for
+
+    planes = _planes_for(64, 42)
+    rows = ", ".join(
+        f"({b}, [{', '.join(repr(float(x)) for x in planes[b])}]::DOUBLE[])"
+        for b in range(N_PLANES))
+    return f"""
+WITH p(b, pv) AS (VALUES {rows}),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT sum(CASE WHEN list_dot_product(p.pv, qv.v) > 0
+             THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+  FROM p, qv),
+eb AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(p.pv, e.embedding::DOUBLE[]) > 0
+             THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+  FROM embeddings e, p GROUP BY e.vec_id)
+SELECT e.vec_id,
+       round_even(list_cosine_similarity(e.embedding::DOUBLE[], qv.v),
+                  6) AS sim
+FROM eb JOIN embeddings e USING (vec_id), qb, qv
+WHERE bit_count(xor(eb.bucket, qb.bucket)) <= 1
+ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+
+@q("q_ann_lsh", sql=_q_ann_lsh_sql())
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate ANN (scale path; recall vs brute force
-    asserted in tests — no SQL equivalent)."""
+    asserted in tests). VALUE-matched: the bucket probe and cosine
+    scoring replay in DuckDB via _q_ann_lsh_sql (the hyperplane matrix
+    is deterministic from the seed and embeds as exact literals)."""
     import pyarrow.parquet as pq
 
     from ner_ray.stages.similarity import _to_matrix, lsh_ann_topk
@@ -1030,7 +1068,9 @@ def q_sample(sf_dir: str):
 # ------------------------------------------------------- multimodal
 
 
-@q("q_media")
+@q("q_media", sql=f"""
+SELECT * FROM read_parquet('{_SMALL}/gold_media.parquet')
+""")
 def q_media(_sf_dir: str):
     """Fused multimodal entry: media metadata extraction + frame
     sampling over interleaved docs, hash-joined with the REAL decode
@@ -1038,11 +1078,12 @@ def q_media(_sf_dir: str):
     for audio spans AND the pure stdlib+numpy image parsers
     (ner_ray.stages.imaging) decode actual PNG/BMP/netpbm bytes for
     image spans; each kind carries typed nulls in the other kind's
-    columns. One row per media span with stats columns, sampled frame
-    refs, real audio columns (sample_rate/channels/n_frames/duration_s/
-    peak) and real image columns (img_format/img_width/img_height/
-    img_channels/mean_luma); rows-only; merged for the driver's 50-row
-    correctness budget."""
+    columns (library surface, tests/test_multimodal.py). The GRADED
+    projection joins the list columns to strings and coalesces the
+    typed nulls to sentinels (hash-stable canonical form); VALUE-
+    matched against fixtures/gen.derive_media_gold — an independent
+    scalar-loop recomputation from the hash contracts and the blob
+    GENERATION parameters (lossless codecs must round-trip them)."""
     import ray.data as rd
 
     from ner_ray.sources.io import read_docs
@@ -1068,7 +1109,39 @@ def q_media(_sf_dir: str):
         rd.read_parquet(f"{fx}/media_blobs.parquet")).materialize()
     joined = flat.join(ast, join_type="left_outer", num_partitions=4,
                        on=("media_ref",))
-    return media_pipeline(joined)
+
+    def project(t: pa.Table) -> pa.Table:
+        feat = t.column("feature").combine_chunks()
+        fvals = np.rint(feat.flatten().to_numpy(zero_copy_only=False)
+                        * 255.0).astype(np.int64)
+        feat_str = pa.ListArray.from_arrays(
+            feat.offsets, pc.cast(pa.array(fvals), pa.string()))
+        ints = {"span_idx": None, "width": None, "height": None,
+                "n_bytes": None, "n_frames_sampled": None,
+                "sample_rate": -1, "channels": -1, "n_frames": -1,
+                "peak": -1}
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "media_ref": t.column("media_ref"),
+            "kind": t.column("kind"),
+            "feature_sig": pc.binary_join(feat_str, "|"),
+            "frames_sig": pc.binary_join(t.column("frames"), "|"),
+            "duration_s": pc.fill_null(t.column("duration_s"), -1.0),
+            "img_format": pc.fill_null(t.column("img_format"), ""),
+            "mean_luma": pc.fill_null(t.column("mean_luma"), -1.0),
+        }
+        for name, sentinel in ints.items():
+            c = t.column(name)
+            if sentinel is not None:
+                c = pc.fill_null(c, sentinel)
+            cols[name] = pc.cast(c, pa.int64())
+        for name in ("img_width", "img_height", "img_channels"):
+            cols[name] = pc.cast(pc.fill_null(t.column(name), -1),
+                                 pa.int64())
+        return pa.table(cols)
+
+    return media_pipeline(joined).map_batches(
+        project, batch_format="pyarrow")
 
 
 @q("q_candidates", sql=f"""
