@@ -136,30 +136,79 @@ _FNV_BASIS = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
-def portable_text_hash(values) -> np.ndarray:
-    """Portable uint64 hash of a STRING column: FNV-1a over Unicode
-    CODE POINTS (not bytes — both numpy's UCS4 view and DuckDB's
-    unicode() see code points natively), finished with splitmix64 for
-    avalanche. Null hashes as the empty string. Vectorized: the column
-    becomes one padded UCS4 matrix and the fold runs one masked numpy
-    op per character position. Caveat (documented, not hit by any
-    corpus here): an embedded NUL ends the numpy-side string early.
-    """
-    if hasattr(values, "to_pandas"):  # pyarrow Array / ChunkedArray
-        values = values.to_pandas()
-    s = pd.Series(values).fillna("")
-    arr = np.asarray(s, dtype="U")
-    h = np.full(len(s), _FNV_BASIS, dtype=np.uint64)
+def _fnv_fold(strings) -> np.ndarray:
+    """Raw FNV-1a code-point fold (pre-splitmix) over a string array.
+    The column becomes one padded UCS4 matrix and the fold runs one
+    masked numpy op per character position — O(rows × maxlen), so
+    callers must keep rows of similar length together (see
+    portable_text_hash). Caveat (documented, not hit by any corpus
+    here): an embedded NUL ends the numpy-side string early."""
+    arr = np.asarray(strings, dtype="U")
+    h = np.full(len(arr), _FNV_BASIS, dtype=np.uint64)
     maxlen = arr.dtype.itemsize // 4
-    if maxlen:
-        mat = arr.view(np.uint32).reshape(len(s), maxlen)
+    if maxlen and len(arr):
+        mat = arr.view(np.uint32).reshape(len(arr), maxlen)
         for j in range(maxlen):
             cp = mat[:, j].astype(np.uint64)
             active = cp != 0
             if not active.any():
                 break
             h = np.where(active, (h ^ cp) * _FNV_PRIME, h)
+    return h
+
+
+def portable_text_hash(values) -> np.ndarray:
+    """Portable uint64 hash of a STRING column: FNV-1a over Unicode
+    CODE POINTS (not bytes — both numpy's UCS4 view and DuckDB's
+    unicode() see code points natively), finished with splitmix64 for
+    avalanche. Null hashes as the empty string.
+
+    Skew guard: the fold pads the batch to a rows × maxlen UCS4
+    matrix, so ONE megabyte-long outlier must not pad every row to its
+    length (a 1k-row web batch with a 1 MB doc would allocate ~4 GB
+    and scan 250k mostly-dead positions). When lengths are skewed,
+    rows are grouped into power-of-two length buckets and folded per
+    bucket — bit-identical results, work/memory O(Σ 2·len) instead of
+    O(rows × maxlen).
+    """
+    if hasattr(values, "to_pandas"):  # pyarrow Array / ChunkedArray
+        values = values.to_pandas()
+    s = pd.Series(values).fillna("")
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    maxlen = int(lens.max())
+    if n == 1 or maxlen <= 64 or maxlen <= 4 * float(lens.mean()):
+        return _splitmix(_fnv_fold(s))
+    bucket = np.ceil(np.log2(np.maximum(lens, 1) + 1)).astype(np.int64)
+    obj = np.asarray(s, dtype=object)
+    h = np.empty(n, dtype=np.uint64)
+    for b in np.unique(bucket):
+        idx = np.nonzero(bucket == b)[0]
+        # near-singleton buckets (the megabyte outliers): the matrix
+        # fold's per-position numpy dispatch (~µs × len) loses to a
+        # scalar fold (~0.4 µs/char); both skip NUL code points
+        if len(idx) <= 8:
+            h[idx] = _fnv_fold_scalar(obj[idx])
+        else:
+            h[idx] = _fnv_fold(obj[idx])
     return _splitmix(h)
+
+
+def _fnv_fold_scalar(strings) -> np.ndarray:
+    """Per-string scalar FNV-1a fold, bit-identical to _fnv_fold
+    (NUL code points skipped, as the padded-matrix mask does)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    mask = (1 << 64) - 1
+    prime, basis = int(_FNV_PRIME), int(_FNV_BASIS)
+    for i, t in enumerate(strings):
+        h = basis
+        for cp in map(ord, t):
+            if cp:
+                h = ((h ^ cp) * prime) & mask
+        out[i] = h
+    return out
 
 
 def sql_text_hash_steps(text_col: str, tag: str):

@@ -100,3 +100,62 @@ def test_splitmix_hash_mixes():
     counts = np.bincount(b, minlength=64)
     # sequential ids must spread uniformly across buckets
     assert counts.min() > 100000 / 64 * 0.9
+
+
+def test_portable_text_hash_matches_sql():
+    """portable_text_hash must be BIT-EXACTLY replicable in DuckDB via
+    sql_text_hash_steps — the basis of q_doc_signals' value match."""
+    import duckdb
+
+    from ner_ray.util.hashing import (
+        portable_text_hash,
+        sql_steps_to_ctes,
+        sql_text_hash_steps,
+    )
+
+    rng = np.random.default_rng(3)
+    texts = ["".join(chr(int(c)) for c in rng.integers(32, 0x2FFF, int(l)))
+             for l in rng.integers(0, 80, 300)]
+    texts += ["", "ascii only", "emoji \U0001F600\U0001F680 mix", None]
+    df = pd.DataFrame({"text": pd.Series(texts, dtype=object)})
+    want = portable_text_hash(df["text"])
+    con = duckdb.connect()
+    con.register("t", df)
+    steps, final_col = sql_text_hash_steps("text", "h")
+    ctes, final_cte = sql_steps_to_ctes("SELECT text FROM t", steps, "th")
+    rows = con.execute(
+        f"WITH {ctes} SELECT {final_col} FROM {final_cte}"
+    ).fetchall()  # HUGEINT as exact Python ints (fetchnumpy -> float64)
+    got = np.array([r[0] for r in rows], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
+def test_portable_text_hash_skew_bucketing():
+    """A megabyte outlier in a short-doc batch must neither change the
+    hash (length-bucketed + scalar folds are bit-identical to the
+    single padded fold) nor pad the whole batch to its length."""
+    from ner_ray.util.hashing import (
+        _fnv_fold,
+        _fnv_fold_scalar,
+        _splitmix,
+    )
+    from ner_ray.util.hashing import portable_text_hash
+
+    rng = np.random.default_rng(5)
+    texts = ["".join(chr(int(c)) for c in rng.integers(32, 0x2FFF, int(l)))
+             for l in rng.integers(0, 200, 400)]
+    texts[0] = ""
+    texts[7] = "a\x00b embedded nul"
+    texts[137] = "x" * 300_000  # forces the bucketed path
+    s = pd.Series(texts)
+    bucketed = portable_text_hash(s)
+    naive = _splitmix(_fnv_fold(s))
+    assert np.array_equal(bucketed, naive)
+    # the two fold kernels agree row-wise (incl. NUL-skip semantics)
+    assert np.array_equal(_fnv_fold_scalar(np.asarray(s, dtype=object)),
+                          _fnv_fold(s))
+    # uniform short batch takes the single-pass path, same answers
+    short = s.str.slice(0, 50)
+    assert np.array_equal(portable_text_hash(short),
+                          _splitmix(_fnv_fold(short)))
+    assert portable_text_hash(pd.Series([], dtype=object)).shape == (0,)
