@@ -117,7 +117,9 @@ def _shingle_hashes(texts: pd.Series, k: int = 3) -> tuple[np.ndarray, np.ndarra
     # them bit-exactly — q_neardup_pairs), and it benches FASTER than
     # the pandas SipHash kernel on short strings. Note: a PERSISTED
     # minhash index (incdedup) built before this hash is invalid.
-    return row[keep], portable_text_hash(sh[keep])
+    # Repeated shingles are hashed once (factorize -> uniques -> gather).
+    codes, uniq = pd.factorize(sh[keep], sort=False)
+    return row[keep], portable_text_hash(pd.Series(uniq))[codes]
 
 
 def minhash_signatures(texts: pd.Series, k: int = 3) -> np.ndarray:
@@ -127,10 +129,16 @@ def minhash_signatures(texts: pd.Series, k: int = 3) -> np.ndarray:
                   dtype=np.uint64)
     if len(h) == 0:
         return sig
+    # row is nondecreasing by construction (np.repeat(arange) filtered
+    # order-preservingly), so per-doc minima come from minimum.reduceat
+    # over segment starts — far cheaper than unbuffered np.minimum.at
+    starts = np.concatenate(
+        [[0], np.nonzero(np.diff(row))[0] + 1]).astype(np.int64)
+    seg_rows = row[starts]
     # h_i(x) = (a_i * x + b_i) mod M  (multiply-shift family)
     for i in range(N_HASHES):
         hv = (h * _A[i] + _B[i]) % _MERSENNE
-        np.minimum.at(sig[:, i], row, hv)
+        sig[seg_rows, i] = np.minimum.reduceat(hv, starts)
     return sig
 
 
@@ -557,10 +565,25 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     row = np.repeat(np.arange(len(texts)), counts)
     acc = np.zeros((len(texts), 64), dtype=np.int64)
     if len(flat):
-        h = portable_text_hash(flat)  # engine-recomputable, see above
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
-                np.uint64(1)).astype(np.int64) * 2 - 1
-        np.add.at(acc, row, bits)
+        # words repeat heavily (zipf): hash uniques once, expand the
+        # ±1 bit matrix by gather; per-doc sign-sums come from buffered
+        # add.reduceat over the sorted row segments (unbuffered
+        # np.add.at over n_words x 64 was the batch's hot spot)
+        codes, uniq = pd.factorize(flat, sort=False)
+        h = portable_text_hash(pd.Series(uniq))  # engine-recomputable
+        bits_u = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
+                  np.uint64(1)).astype(np.int32) * 2 - 1
+        bits = bits_u[codes]
+        # per-doc sign-sums via cumsum differences over the sorted row
+        # segments (np.add.at / reduceat over n_words x 64 were the
+        # batch's hot spot; cumsum is one vectorized pass)
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(row))[0] + 1]).astype(np.int64)
+        csum = np.cumsum(bits, axis=0, dtype=np.int64)
+        ends = np.concatenate([starts[1:], [len(bits)]])
+        tot = csum[ends - 1]
+        tot[1:] -= csum[starts[1:] - 1]
+        acc[row[starts]] = tot
     sim = (acc > 0).astype(np.uint64)
     sh = np.zeros(len(texts), dtype=np.uint64)
     for bit in range(64):
