@@ -566,9 +566,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     acc = np.zeros((len(texts), 64), dtype=np.int64)
     if len(flat):
         # words repeat heavily (zipf): hash uniques once, expand the
-        # ±1 bit matrix by gather; per-doc sign-sums come from buffered
-        # add.reduceat over the sorted row segments (unbuffered
-        # np.add.at over n_words x 64 was the batch's hot spot)
+        # ±1 bit matrix by gather
         codes, uniq = pd.factorize(flat, sort=False)
         h = portable_text_hash(pd.Series(uniq))  # engine-recomputable
         bits_u = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
