@@ -622,10 +622,15 @@ def _semantics_fingerprint() -> str:
 
     import ner_ray.constants as c
     import ner_ray.oracle.reference_oracle as o
+    import ner_ray.oracle.train_oracle as t
+    import ner_ray.stages.train as st
 
     h = hashlib.sha256()
     h.update(str(SEED).encode())
-    for mod in (c, o):
+    # stages/train.py is fingerprinted because train_oracle shares its
+    # scalar kernels (feature values, hash contract, export layout):
+    # editing either side must invalidate gold_train_metrics.
+    for mod in (c, o, t, st):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
     with open(__file__, "rb") as f:
@@ -676,6 +681,14 @@ def ensure_fixtures(size: str = "small", root: str | None = None) -> str:
     if with_gold:
         gold = derive_gold(docs, alias_tbl, model_tbl)
         meta.update(gold.pop("_meta"))
+        if size == "tiny":
+            # golden metrics for the value-matched q_train_eval: the
+            # single-process oracle trainer replays the deterministic
+            # distributed trainer exactly (oracle/train_oracle.py)
+            from ner_ray.oracle.train_oracle import derive_train_golden
+
+            gold["gold_train_metrics"] = derive_train_golden(
+                docs, gold["gold_mentions"], alias_tbl)
         for name, table in gold.items():
             pq.write_table(table, os.path.join(tmp_dir, f"{name}.parquet"))
             meta[f"rows_{name}"] = table.num_rows

@@ -308,52 +308,49 @@ def q_span_invariant(_sf_dir: str):
     return span_invariant_verdicts(docs, annotated)
 
 
-@q("q_train_eval")
+@q("q_train_eval", sql=f"""
+SELECT epochs_run, first_epoch_errors, last_epoch_errors, total_errors,
+       n_sequences, model_rows, weight_checksum
+FROM read_parquet('{FIXTURE_ROOT}/tiny/gold_train_metrics.parquet')
+""")
 def q_train_eval(_sf_dir: str):
     """A5: distributed perceptron training (iterative parameter
-    mixing) on the tiny fixture's labeled sequences; returns one row of
-    training/eval metrics (rows-only — training is iterative and
-    model-stateful, not SQL-expressible). The trained model exports to
-    the standard model table and is evaluated through the unmodified
-    tagger (see tests/test_train.py for the full F1 assertion)."""
+    mixing) on the tiny fixture's labeled sequences; returns one row
+    of training metrics including an L1 weight checksum.
+    VALUE-matched: ``deterministic_buckets`` makes the distributed
+    trainer layout/parallelism-independent (content-hash buckets,
+    ascending-hash order within, ascending-bucket mixing), and the
+    golden is produced by a single-process replay with an
+    independently re-implemented epoch loop and scalar Viterbi
+    (ner_ray/oracle/train_oracle.py — no Ray involvement). The trained
+    model exports to the standard model table and is evaluated through
+    the unmodified tagger (tests/test_train.py asserts the F1;
+    tests/test_train_deterministic.py asserts bitwise weight equality
+    across layouts and vs the oracle)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     from ner_ray.fixtures.gen import ensure_fixtures
+    from ner_ray.oracle.train_oracle import (
+        TRAIN_EVAL_BUCKETS,
+        TRAIN_EVAL_EPOCHS,
+        train_metrics_table,
+        training_sequences,
+    )
     from ner_ray.stages.train import train_perceptron
 
     fx = ensure_fixtures("tiny")
-    docs = pq.read_table(f"{fx}/docs.parquet").to_pylist()
-    gold = pq.read_table(f"{fx}/gold_mentions.parquet").to_pylist()
-    by_span: dict[tuple, list] = {}
-    for m in gold:
-        by_span.setdefault((m["doc_id"], m["span_idx"]), []).append(m)
-    rows = []
-    for d in docs:
-        for si, span in enumerate(d["spans"]):
-            if span["kind"] != "text" or not span["text"]:
-                continue
-            toks = span["text"].split()
-            tags = ["O"] * len(toks)
-            for m in by_span.get((d["doc_id"], si), []):
-                tags[m["tok_begin"]] = f"B-{m['ne_type']}"
-                for t in range(m["tok_begin"] + 1, m["tok_end"]):
-                    tags[t] = f"I-{m['ne_type']}"
-            rows.append({"tokens": toks, "tags": tags})
+    rows = training_sequences(
+        pq.read_table(f"{fx}/docs.parquet").to_pylist(),
+        pq.read_table(f"{fx}/gold_mentions.parquet").to_pylist())
     alias_tbl = pq.read_table(f"{fx}/alias.parquet")
     alias_types = dict(zip(alias_tbl.column("alias").to_pylist(),
                            alias_tbl.column("ne_type").to_pylist()))
     seq_ds = rd.from_arrow(pa.Table.from_pylist(rows))
-    weights, history = train_perceptron(seq_ds, alias_types, epochs=3,
-                                        batch_size=64, concurrency=(1, 4))
-    return pa.table({
-        "epochs_run": pa.array([len(history)], pa.int64()),
-        "first_epoch_errors": pa.array([history[0]["errors"]], pa.int64()),
-        "last_epoch_errors": pa.array([history[-1]["errors"]], pa.int64()),
-        "n_sequences": pa.array([history[0]["sequences"]], pa.int64()),
-        "model_rows": pa.array([weights.to_model_table().num_rows],
-                               pa.int64()),
-    })
+    weights, history = train_perceptron(
+        seq_ds, alias_types, epochs=TRAIN_EVAL_EPOCHS,
+        deterministic_buckets=TRAIN_EVAL_BUCKETS)
+    return train_metrics_table(weights, history)
 
 
 @q("q_posterior", sql=f"""

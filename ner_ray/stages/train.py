@@ -264,16 +264,44 @@ def _gaz_flags_for(tokens: list[str], alias_types: dict[str, str]):
     return gazetteer_flags([_norm(t) for t in tokens], alias_types)
 
 
+def seq_content_hash(tokens_col: list[list[str]],
+                     tags_col: list[list[str]]) -> np.ndarray:
+    """Seed-stable uint64 content hash per (tokens, tags) sequence —
+    the bucket-assignment / within-bucket-order contract shared by the
+    deterministic trainer and its single-process oracle
+    (ner_ray/oracle/train_oracle.py)."""
+    from ner_ray.util.hashing import hash_columns
+
+    return hash_columns(["\x1f".join(t) for t in tokens_col],
+                        ["\x1f".join(t) for t in tags_col])
+
+
+def weights_checksum(w: "TrainWeights") -> float:
+    """Order-pinned L1 checksum over every trained tensor (the graded
+    weight fingerprint of q_train_eval): np.sum per array (pairwise,
+    deterministic for identical arrays), accumulated in the frozen
+    family order then trans then start."""
+    s = 0.0
+    for fam in w.weights:
+        s += float(np.abs(w.weights[fam]).sum())
+    s += float(np.abs(w.trans).sum())
+    s += float(np.abs(w.start).sum())
+    return s
+
+
 # ------------------------------------------------- featurize once
 
 
 def featurize(seq_ds, value_ids, alias_types: dict[str, str],
-              families=None, tests=()):
+              families=None, tests=(), buckets: int | None = None):
     """One-time distributed featurization: (tokens, tags) rows ->
     per-family id matrices (flattened) + gold label ids. Training
     epochs then consume pure integers — the string kernels (normalize,
     shape, affixes, gazetteer longest-match, pattern regex tests) run
-    once per corpus, not once per epoch (the factorize-first rule)."""
+    once per corpus, not once per epoch (the factorize-first rule).
+    With ``buckets`` set, also emits the deterministic-trainer keys:
+    ``_h`` (seed-stable sequence content hash) and ``_bkt`` (hash mod
+    buckets) — layout-independent by construction."""
     fams = list(families if families is not None else FEATURE_FAMILIES)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -296,6 +324,11 @@ def featurize(seq_ds, value_ids, alias_types: dict[str, str],
         for fam in fams:
             cols[f"f_{fam}"] = pa.array(out[f"f_{fam}"],
                                         pa.list_(pa.int64()))
+        if buckets is not None:
+            hs = seq_content_hash(toks_col, tags_col)
+            cols["_h"] = pa.array(hs, pa.uint64())
+            cols["_bkt"] = pa.array(
+                (hs % np.uint64(buckets)).astype(np.int64), pa.int64())
         return pa.table(cols)
 
     return seq_ds.map_batches(fn, batch_format="pyarrow").materialize()
@@ -1015,27 +1048,54 @@ class EpochTrainer:
 
 def train_perceptron(seq_ds, alias_types: dict[str, str],
                      epochs: int = 5, batch_size: int = 256,
-                     concurrency=(1, 8), patterns=None):
+                     concurrency=(1, 8), patterns=None,
+                     deterministic_buckets: int | None = None):
     """Iterative-parameter-mixing training loop. seq_ds rows:
     (tokens: list<string>, tags: list<string>). Returns the AVERAGED
     TrainWeights (average of post-epoch weights — the standard
-    averaged-perceptron variance reduction at epoch granularity)."""
+    averaged-perceptron variance reduction at epoch granularity).
+
+    Default mode mixes per-map_batches deltas: fast, but batch
+    composition (and so the trained weights) depends on block layout.
+    ``deterministic_buckets=B`` instead groups sequences into B
+    seed-stable content-hash buckets and trains each bucket in
+    ascending-hash order, mixing bucket deltas in ascending bucket
+    order — the result is BITWISE independent of block layout, CPU
+    count and retries, and is replayed exactly by the single-process
+    oracle (ner_ray/oracle/train_oracle.py) that produces the
+    gold_train_metrics fixture for the value-matched q_train_eval."""
     import ray
 
     families, tests = _plan_from_patterns(patterns)
     value_ids = build_feature_space(seq_ds, families=families, tests=tests)
     w = TrainWeights.zeros(value_ids, families)
-    feat_ds = featurize(seq_ds, value_ids, alias_types, families, tests)
+    feat_ds = featurize(seq_ds, value_ids, alias_types, families, tests,
+                        buckets=deterministic_buckets)
     avg = TrainWeights.zeros(value_ids, families)
     history = []
     for _epoch in range(epochs):
         w_ref = ray.put(w)
-        parts = feat_ds.map_batches(
-            EpochTrainer,
-            fn_constructor_kwargs={"weights_ref": w_ref},
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency, num_cpus=1,
-        ).to_pandas()
+        if deterministic_buckets is not None:
+            import pyarrow.compute as pc
+
+            def run_bucket(g: pa.Table) -> pa.Table:
+                g = g.take(pc.sort_indices(
+                    g, sort_keys=[("_h", "ascending")]))
+                out = EpochTrainer(w_ref)(g)
+                return out.append_column("_bkt", pa.array(
+                    [g.column("_bkt")[0].as_py()], pa.int64()))
+
+            parts = feat_ds.groupby("_bkt").map_groups(
+                run_bucket, batch_format="pyarrow").to_pandas()
+            # mixing order must be layout-independent too
+            parts = parts.sort_values("_bkt").reset_index(drop=True)
+        else:
+            parts = feat_ds.map_batches(
+                EpochTrainer,
+                fn_constructor_kwargs={"weights_ref": w_ref},
+                batch_format="pyarrow", batch_size=batch_size,
+                concurrency=concurrency, num_cpus=1,
+            ).to_pandas()
         k = max(len(parts), 1)
         n_err = int(parts["n_err"].sum()) if len(parts) else 0
         n_seq = int(parts["n_seq"].sum()) if len(parts) else 0
