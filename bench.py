@@ -332,9 +332,20 @@ def _stage_curate_corpus(n_docs: int) -> str:
                    f"{tmp}/target.parquet")
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")
-    if not os.path.exists(os.path.join(corpus_dir, "_COMPLETE")):
-        os.makedirs(os.path.dirname(corpus_dir), exist_ok=True)
+    import shutil
+
+    if os.path.exists(os.path.join(corpus_dir, "_COMPLETE")):
+        shutil.rmtree(tmp, ignore_errors=True)   # lost the race: no leak
+        return corpus_dir
+    os.makedirs(os.path.dirname(corpus_dir), exist_ok=True)
+    try:
         os.replace(tmp, corpus_dir)
+    except OSError:
+        # a concurrent stager renamed first; its output is identical
+        # (seeded rng) — defer to it and drop ours
+        if not os.path.exists(os.path.join(corpus_dir, "_COMPLETE")):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
     return corpus_dir
 
 

@@ -42,6 +42,9 @@ def broadcast_join(ds, small_df, left_on: str, right_on: str,
     small = (pa.Table.from_pandas(small_df, preserve_index=False)
              if isinstance(small_df, pd.DataFrame)
              else small_df.combine_chunks())
+    # null small-side keys can never match (SQL join semantics) and
+    # break argsort on object dtype — drop them before sorting
+    small = small.filter(pc.is_valid(small.column(right_on)))
     skeys = small.column(right_on).to_numpy(zero_copy_only=False)
     order = np.argsort(skeys, kind="stable")
     small = small.take(pa.array(order))

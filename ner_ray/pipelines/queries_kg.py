@@ -505,20 +505,18 @@ def q_doc_signals(sf_dir: str):
     correctness budget)."""
     from ner_ray.stages.lmscore import score_docs, train_unigram
     from ner_ray.stages.textstats import DocSignalsStage
-    from ner_ray.util.hashing import (
-        combine_hashes,
-        portable_text_hash,
-        splitmix_hash,
-    )
+    from ner_ray.util.hashing import combine_hashes, splitmix_hash
 
     class SignalsWithRowHash(DocSignalsStage):
         def __call__(self, batch: pa.Table) -> pa.Table:
             # the base stage rebuilds its table from (doc_id, text);
-            # carry the upstream lm_score column through explicitly
-            out = super().__call__(batch)
+            # carry the upstream lm_score column through explicitly,
+            # and reuse the fingerprint's text hash for the row hash
+            # (the code-point fold dominates this stage's cost)
+            out, h_text = self.with_fingerprint(batch)
             out = out.append_column("lm_score", batch.column("lm_score"))
             h = combine_hashes(splitmix_hash(batch.column("doc_id")),
-                               portable_text_hash(batch.column("text")))
+                               h_text)
             return out.append_column(
                 "row_hash", pa.array([f"{x:016x}" for x in h], pa.string()))
 

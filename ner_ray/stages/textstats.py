@@ -365,9 +365,17 @@ class DocSignalsStage(LangIdStage):
     which is what value-matches q_doc_signals."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        out, _h = self.with_fingerprint(batch)
+        return out
+
+    def with_fingerprint(self, batch: pa.Table):
+        """(output table, raw uint64 text hashes) — subclasses that
+        need the text hash again (q_doc_signals' row_hash) reuse it
+        instead of folding every document twice."""
         from ner_ray.util.hashing import portable_text_hash
 
         out = super().__call__(batch)
         h = portable_text_hash(batch.column("text"))
         return out.append_column(
-            "fingerprint", pa.array([f"{x:016x}" for x in h], pa.string()))
+            "fingerprint",
+            pa.array([f"{x:016x}" for x in h], pa.string())), h

@@ -141,8 +141,11 @@ def _fnv_fold(strings) -> np.ndarray:
     The column becomes one padded UCS4 matrix and the fold runs one
     masked numpy op per character position — O(rows × maxlen), so
     callers must keep rows of similar length together (see
-    portable_text_hash). Caveat (documented, not hit by any corpus
-    here): an embedded NUL ends the numpy-side string early."""
+    portable_text_hash). NUL code points are SKIPPED (they are
+    indistinguishable from padding in the UCS4 matrix); the scalar
+    fold and the DuckDB replay skip them identically, so a string
+    with an embedded NUL hashes the same on every path and under any
+    batch composition."""
     arr = np.asarray(strings, dtype="U")
     h = np.full(len(arr), _FNV_BASIS, dtype=np.uint64)
     maxlen = arr.dtype.itemsize // 4
@@ -152,7 +155,9 @@ def _fnv_fold(strings) -> np.ndarray:
             cp = mat[:, j].astype(np.uint64)
             active = cp != 0
             if not active.any():
-                break
+                # all-dead COLUMN != end of all strings: an embedded
+                # NUL row can resurrect later, so never break early
+                continue
             h = np.where(active, (h ^ cp) * _FNV_PRIME, h)
     return h
 
@@ -219,7 +224,9 @@ def sql_text_hash_steps(text_col: str, tag: str):
         f"list_reduce(list_prepend({int(_FNV_BASIS)}::HUGEINT, "
         f"list_transform(string_split(coalesce({text_col}, ''), ''), "
         f"c -> CAST(unicode(c) AS HUGEINT))), "
-        f"(h, cp) -> {_sql_mul64('xor(h, cp)', int(_FNV_PRIME))})")
+        # cp = 0 (embedded NUL) is skipped, matching both numpy folds
+        f"(h, cp) -> CASE WHEN cp = 0 THEN h "
+        f"ELSE {_sql_mul64('xor(h, cp)', int(_FNV_PRIME))} END)")
     raw = f"_{tag}f"
     steps = [(raw,
               f"CASE WHEN coalesce({text_col}, '') = '' "

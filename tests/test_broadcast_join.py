@@ -113,3 +113,21 @@ def test_same_key_name_keeps_one(ray_session):
     out = _collect(broadcast_join(rd.from_arrow(big), small, "k", "k"))
     assert out.column_names == ["k", "v", "tag"]
     assert out.to_pylist() == [{"k": 2, "v": 20, "tag": "two"}]
+
+
+def test_null_small_side_keys(ray_session):
+    """Null keys on the BROADCAST side never match (SQL semantics) and
+    must not crash key sorting. Regression: np.argsort over an object
+    array with None raised TypeError at plan-build time."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ner_ray.functions.joins import broadcast_join
+
+    left = rd.from_items([{"k": "a"}, {"k": "b"}, {"k": None}])
+    dim = pd.DataFrame({"sk": ["a", None, None], "label": ["x", "y", "z"]})
+    got = broadcast_join(left, dim, "k", "sk").to_pandas()
+    assert got[["k", "label"]].values.tolist() == [["a", "x"]]
+    got_left = broadcast_join(left, dim, "k", "sk", how="left").to_pandas()
+    assert sorted(map(tuple, got_left[["k", "label"]].fillna("-").values)) \
+        == [("-", "-"), ("a", "x"), ("b", "-")]

@@ -159,3 +159,46 @@ def test_portable_text_hash_skew_bucketing():
     assert np.array_equal(portable_text_hash(short),
                           _splitmix(_fnv_fold(short)))
     assert portable_text_hash(pd.Series([], dtype=object)).shape == (0,)
+
+
+def test_portable_text_hash_embedded_nul_layout_independent():
+    """An embedded NUL must hash identically on every path: the padded
+    matrix fold (NUL indistinguishable from padding -> skipped, but a
+    dead COLUMN must not end the fold for resurrecting rows), the
+    scalar fold, and the DuckDB replay. Regression: the matrix fold
+    used to break at the first all-dead column, truncating NUL-row
+    tails whenever co-batched rows were all shorter."""
+    import duckdb
+
+    from ner_ray.util.hashing import (
+        _fnv_fold,
+        _fnv_fold_scalar,
+        portable_text_hash,
+        sql_steps_to_ctes,
+        sql_text_hash_steps,
+    )
+
+    cases = ["ab\x00cd", "x", "", "\x00", "ab\x00" + "c" * 100,
+             "tail\x00" * 40, "plain"]
+    assert np.array_equal(
+        _fnv_fold(pd.Series(cases)),
+        _fnv_fold_scalar(np.array(cases, dtype=object)))
+    # batch-composition independence: alone vs next to longer rows
+    for c in cases:
+        assert (portable_text_hash(pd.Series([c]))[0]
+                == portable_text_hash(pd.Series([c, "z" * 400]))[0]), repr(c)
+    # bucketed (>8 rows, matrix) vs singleton (scalar) path equality
+    big = pd.Series(["ab\x00" + "c" * 100] * 12)
+    assert (portable_text_hash(big)
+            == portable_text_hash(big[:1])[0]).all()
+    # DuckDB replay skips NUL code points identically
+    df = pd.DataFrame({"text": pd.Series(cases, dtype=object)})
+    want = portable_text_hash(df["text"])
+    con = duckdb.connect()
+    con.register("t", df)
+    steps, final_col = sql_text_hash_steps("text", "h")
+    ctes, final_cte = sql_steps_to_ctes("SELECT text FROM t", steps, "th")
+    rows = con.execute(
+        f"WITH {ctes} SELECT {final_col} FROM {final_cte}").fetchall()
+    assert np.array_equal(np.array([r[0] for r in rows], dtype=np.uint64),
+                          want)
