@@ -41,6 +41,13 @@ Scale design
   collision-free but needs a global suffix array.
   ``hash_mod`` (test-only) truncates the hash space to make collisions
   common so the over-trim-only contract is provable in tests.
+- ``exact=True`` closes that gap without a suffix array: a third pass
+  re-scans the corpus, ships the TEXT of candidate windows only (the
+  rare repeated fraction) into one groupby(gram) count, and the trim
+  pass then matches confirmed gram STRINGS — zero false trims by
+  construction, window semantics identical. The gram-string broadcast
+  is byte-capped (raises with shard guidance); hashed mode remains the
+  default for corpora whose dup-gram text exceeds the budget.
 
 Tokens are whitespace tokens (``str.split()``), matching the shingle
 kernel in neardup/decontam; removal spans never cross document
@@ -61,12 +68,15 @@ MAX_BROADCAST_HASHES = 50_000_000  # ~400 MB of int64 — object-store safe
 
 
 def _positional_ngram_hashes(texts: pd.Series, k: int,
-                             hash_mod: int | None = None):
+                             hash_mod: int | None = None,
+                             with_grams: bool = False):
     """(row_idx, token_pos, uint64 hash) for every k-token window.
 
     Same tokenization + shift-concat construction as
     neardup._shingle_hashes, but keeps the window's start position so
-    callers can map hashes back to token spans."""
+    callers can map hashes back to token spans. ``with_grams=True``
+    additionally returns the window STRINGS (exact-mode verification
+    needs them); None otherwise."""
     words = texts.str.split()
     counts = words.str.len().fillna(0).to_numpy(dtype=np.int64)
     flat = words.explode(ignore_index=True).dropna().reset_index(drop=True)
@@ -75,8 +85,9 @@ def _positional_ngram_hashes(texts: pd.Series, k: int,
     starts = np.cumsum(counts) - counts
     pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
     if n == 0:
+        empty_grams = pd.Series([], dtype=object) if with_grams else None
         return (np.array([], dtype=np.int64),) * 2, np.array(
-            [], dtype=np.uint64), counts, flat, row
+            [], dtype=np.uint64), counts, flat, row, empty_grams
     parts = [flat]
     valid = np.ones(n, dtype=bool)
     for j in range(1, k):
@@ -89,7 +100,8 @@ def _positional_ngram_hashes(texts: pd.Series, k: int,
     h = hash_column(sh[keep])
     if hash_mod is not None:  # collision injection (tests only)
         h = h % np.uint64(hash_mod)
-    return (row[keep], pos[keep]), h, counts, flat, row
+    grams = sh[keep].reset_index(drop=True) if with_grams else None
+    return (row[keep], pos[keep]), h, counts, flat, row, grams
 
 
 def duplicated_ngram_hashes(docs_ds, k: int = DEFAULT_K,
@@ -101,7 +113,8 @@ def duplicated_ngram_hashes(docs_ds, k: int = DEFAULT_K,
 
     def partial(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pandas()
-        (row, _pos), h, *_ = _positional_ngram_hashes(texts, k, hash_mod)
+        (row, _pos), h, *_ = _positional_ngram_hashes(
+            texts, k, hash_mod)
         if len(h) == 0:
             return pa.table({"h": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
@@ -117,14 +130,67 @@ def duplicated_ngram_hashes(docs_ds, k: int = DEFAULT_K,
     return counts.filter(expr=f"n_docs >= {int(min_docs)}")
 
 
+def confirmed_dup_grams(docs_ds, cand_ref, k: int, min_docs: int,
+                        text_col: str, hash_mod: int | None = None):
+    """Exact-mode verification pass: (gram, n_docs) for every k-gram
+    whose hash is in the broadcast candidate set AND which truly
+    occurs in >= min_docs docs by STRING identity. Only candidate
+    windows (the already-rare repeated fraction) ship their text into
+    the shuffle; every occurrence of one gram shares one hash, so
+    candidate-flagging is uniform per gram and the counts are exact."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    class _Partial:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_pandas()
+            (row, _pos), h, _counts, _flat, _tok_row, grams = \
+                _positional_ngram_hashes(texts, k, hash_mod,
+                                         with_grams=True)
+            if len(h) == 0 or len(self.cand) == 0:
+                return pa.table({"gram": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            idx = np.searchsorted(self.cand, h)
+            idx[idx == len(self.cand)] = 0
+            flagged = self.cand[idx] == h
+            d = pd.DataFrame({"r": row[flagged],
+                              "gram": grams[flagged]}).drop_duplicates()
+            g = d.groupby("gram", sort=False).size()
+            return pa.table({"gram": pa.array(g.index),
+                             "n": pa.array(g.to_numpy().astype(np.int64))})
+
+    return docs_ds.map_batches(_Partial, batch_format="pyarrow",
+                               concurrency=(1, 8), num_cpus=1) \
+        .groupby("gram").aggregate(Sum("n", alias_name="n_docs")) \
+        .filter(expr=f"n_docs >= {int(min_docs)}")
+
+
 def remove_repeated_spans(docs_ds, k: int = DEFAULT_K, min_docs: int = 2,
                           text_col: str = "text", id_col: str = "doc_id",
                           max_broadcast_hashes: int = MAX_BROADCAST_HASHES,
-                          hash_mod: int | None = None):
+                          hash_mod: int | None = None,
+                          exact: bool = False,
+                          max_broadcast_bytes: int = 1 << 29):
     """Rewrite ``text_col`` with every globally-repeated k-token
     window removed (union of covering windows); adds
     ``removed_tokens`` (int64) per doc. Two passes over the corpus:
-    one counting shuffle of scalar pairs, one broadcast map."""
+    one counting shuffle of scalar pairs, one broadcast map.
+
+    ``exact=True`` adds a verification pass that confirms each
+    candidate hash by its gram STRING (per-doc-distinct string counts
+    >= min_docs), then trims by string membership — COLLISION-FREE
+    (Lee et al.'s ExactSubstr semantics at window granularity, no
+    over-trim even under adversarial hash collisions) at the cost of
+    (a) one extra corpus pass shuffling only candidate-window text and
+    (b) a gram-STRING broadcast bounded by ``max_broadcast_bytes``
+    (default 512 MB; the operator RAISES over the cap with the same
+    shard-by-partition guidance as the hash path). Hashed mode remains
+    the scale default: its false-trim rate is ~G²/2^65 (module
+    docstring), while exact mode suits corpora whose confirmed
+    dup-gram set fits the broadcast budget."""
     import ray
 
     dup = duplicated_ngram_hashes(docs_ds, k=k, min_docs=min_docs,
@@ -144,14 +210,35 @@ def remove_repeated_spans(docs_ds, k: int = DEFAULT_K, min_docs: int = 2,
         if parts else np.array([], dtype=np.uint64)
     ref = ray.put(dup_sorted)
 
+    conf_ref = None
+    if exact:
+        conf = confirmed_dup_grams(docs_ds, ref, k, min_docs, text_col,
+                                   hash_mod)
+        gparts = [b.column("gram").to_pandas()
+                  for b in conf.iter_batches(batch_format="pyarrow",
+                                             batch_size=None)]
+        grams_all = pd.concat(gparts, ignore_index=True) if gparts \
+            else pd.Series([], dtype=object)
+        total_bytes = int(grams_all.str.len().sum() * 4)  # UCS4 bound
+        if total_bytes > max_broadcast_bytes:
+            raise ValueError(
+                f"remove_repeated_spans(exact=True): confirmed dup-gram "
+                f"strings need ~{total_bytes} bytes > max_broadcast_bytes="
+                f"{max_broadcast_bytes}; shard the run by corpus "
+                "partition or fall back to the hashed mode (false-trim "
+                "rate documented in the module docstring)")
+        conf_ref = ray.put(pd.Index(grams_all))
+
     class _Trim:
         def __init__(self):
             self.dup = ray.get(ref)
+            self.conf = ray.get(conf_ref) if conf_ref is not None else None
 
         def __call__(self, t: pa.Table) -> pa.Table:
             texts = t.column(text_col).to_pandas()
-            (row, pos), h, counts, flat, tok_row = \
-                _positional_ngram_hashes(texts, k, hash_mod)
+            (row, pos), h, counts, flat, tok_row, grams = \
+                _positional_ngram_hashes(texts, k, hash_mod,
+                                         with_grams=self.conf is not None)
             n_tok = len(flat)
             if n_tok == 0 or len(self.dup) == 0:
                 out = t.set_column(
@@ -160,9 +247,13 @@ def remove_repeated_spans(docs_ds, k: int = DEFAULT_K, min_docs: int = 2,
                 return out.append_column(
                     "removed_tokens",
                     pa.array(np.zeros(len(t), np.int64)))
-            idx = np.searchsorted(self.dup, h)
-            idx[idx == len(self.dup)] = 0
-            flagged = self.dup[idx] == h
+            if self.conf is not None:
+                # exact string membership: zero collisions possible
+                flagged = self.conf.get_indexer(grams) >= 0
+            else:
+                idx = np.searchsorted(self.dup, h)
+                idx[idx == len(self.dup)] = 0
+                flagged = self.dup[idx] == h
             starts = np.cumsum(counts) - counts
             g = starts[row[flagged]] + pos[flagged]  # global window starts
             diff = np.zeros(n_tok + 1, dtype=np.int64)

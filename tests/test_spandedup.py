@@ -194,3 +194,54 @@ def test_collision_injection_over_trims_only(ray_session):
 
     for got, want in zip(collided["text"], brute_out):
         assert is_subseq(got.split(), want.split())
+
+
+def test_exact_mode_matches_hashed_when_no_collisions(ray_session, trimmed):
+    """With full 64-bit hashes (no collisions at this scale) exact
+    mode must reproduce the hashed result verbatim."""
+    import ray.data as rd
+
+    _texts, df, out = trimmed
+    got = remove_repeated_spans(
+        rd.from_pandas(df), k=K, min_docs=2, exact=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[out.columns], out)
+
+
+def test_exact_mode_immune_to_collisions(ray_session):
+    """hash_mod=2 makes nearly every distinct gram collide: hashed
+    mode over-trims (proven elsewhere), exact mode must not trim ANY
+    unique window and must still trim the genuinely repeated one."""
+    import ray.data as rd
+
+    from ner_ray.stages.spandedup import remove_repeated_spans
+
+    rep = "alpha beta gamma delta"
+    docs = [{"doc_id": f"d{i}", "text": f"unique{i}a unique{i}b {rep} "
+                                        f"unique{i}c unique{i}d"}
+            for i in range(6)]
+    out = remove_repeated_spans(
+        rd.from_items(docs), k=4, hash_mod=2, exact=True) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    hashed = remove_repeated_spans(
+        rd.from_items(docs), k=4, hash_mod=2, exact=False) \
+        .to_pandas()
+    # exact: precisely the repeated 4-gram's union cover is removed
+    for _, r in out.iterrows():
+        assert rep.split()[0] not in r["text"]
+        assert "a" == r["text"].split()[0][-1]  # uniqueNa survives
+    assert (out["removed_tokens"] < len(docs[0]["text"].split())).all()
+    # hashed mode with mod-2 hashes trims strictly more
+    assert hashed["removed_tokens"].sum() > out["removed_tokens"].sum()
+
+
+def test_exact_mode_byte_cap_raises(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from ner_ray.stages.spandedup import remove_repeated_spans
+
+    docs = [{"doc_id": f"d{i}", "text": "w x y z " * 10} for i in range(4)]
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        remove_repeated_spans(rd.from_items(docs), k=4, exact=True,
+                              max_broadcast_bytes=8)
