@@ -157,3 +157,24 @@ def test_partial_final_mean_decomposition(ray_session):
     assert np.allclose(out["avg_qty"], want["avg_qty"], atol=1e-9)
     assert (out["min_qty"] == want["min_qty"]).all()
     assert (out["max_qty"] == want["max_qty"]).all()
+
+
+@given(st.lists(st.text(min_size=0, max_size=60), min_size=1, max_size=12),
+       st.data())
+@settings(max_examples=150, deadline=None)
+def test_portable_text_hash_batch_composition_invariant(texts, data):
+    """portable_text_hash(s) must not depend on what other strings
+    share the batch — any co-batching (including NUL-bearing and
+    much longer neighbors) yields the same per-row hash as hashing
+    the row alone. This is the seed-stable contract every dedup /
+    fingerprint path builds on."""
+    from ner_ray.util.hashing import portable_text_hash
+
+    # adversarial neighbors: force matrix vs scalar vs bucketed paths
+    extra = data.draw(st.lists(
+        st.text(alphabet=st.characters(min_codepoint=0, max_codepoint=0x24F),
+                min_size=0, max_size=400),
+        min_size=0, max_size=10))
+    alone = np.array([portable_text_hash(pd.Series([t]))[0] for t in texts])
+    together = portable_text_hash(pd.Series(list(texts) + list(extra)))
+    assert np.array_equal(together[: len(texts)], alone)
