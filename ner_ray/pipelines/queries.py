@@ -53,12 +53,17 @@ def _load_all() -> None:
 def registry() -> dict[str, Callable]:
     _load_all()
     ensure_fixtures("small")
+    ensure_fixtures("tiny")   # q_train_eval's golden lives here
     return dict(_REGISTRY)
 
 
 def sql_registry() -> dict[str, str]:
     _load_all()
     ensure_fixtures("small")
+    # the driver may run an entry's DuckDB side before its Ray side;
+    # q_train_eval's SQL reads the tiny fixture's golden, so it must
+    # exist as soon as the SQL string is handed out
+    ensure_fixtures("tiny")
     return dict(_SQL)
 
 
