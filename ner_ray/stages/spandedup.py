@@ -60,6 +60,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ner_ray.util.hashing import hash_column
 
@@ -69,14 +70,17 @@ MAX_BROADCAST_HASHES = 50_000_000  # ~400 MB of int64 — object-store safe
 
 def _positional_ngram_hashes(texts: pd.Series, k: int,
                              hash_mod: int | None = None,
-                             with_grams: bool = False):
+                             with_grams: bool = False,
+                             with_hashes: bool = True):
     """(row_idx, token_pos, uint64 hash) for every k-token window.
 
     Same tokenization + shift-concat construction as
     neardup._shingle_hashes, but keeps the window's start position so
     callers can map hashes back to token spans. ``with_grams=True``
     additionally returns the window STRINGS (exact-mode verification
-    needs them); None otherwise."""
+    needs them); None otherwise. ``with_hashes=False`` skips the hash
+    fold (the exact trim pass matches strings only) and returns a
+    zeros placeholder of the right length."""
     words = texts.str.split()
     counts = words.str.len().fillna(0).to_numpy(dtype=np.int64)
     flat = words.explode(ignore_index=True).dropna().reset_index(drop=True)
@@ -97,9 +101,12 @@ def _positional_ngram_hashes(texts: pd.Series, k: int,
         valid &= v
     sh = parts[0].str.cat(parts[1:], sep=" ") if k > 1 else flat
     keep = valid & sh.notna().to_numpy()
-    h = hash_column(sh[keep])
-    if hash_mod is not None:  # collision injection (tests only)
-        h = h % np.uint64(hash_mod)
+    if with_hashes:
+        h = hash_column(sh[keep])
+        if hash_mod is not None:  # collision injection (tests only)
+            h = h % np.uint64(hash_mod)
+    else:
+        h = np.zeros(int(keep.sum()), dtype=np.uint64)
     grams = sh[keep].reset_index(drop=True) if with_grams else None
     return (row[keep], pos[keep]), h, counts, flat, row, grams
 
@@ -146,20 +153,25 @@ def confirmed_dup_grams(docs_ds, cand_ref, k: int, min_docs: int,
             self.cand = ray.get(cand_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table({"gram": pa.array([], pa.string()),
+                              "n": pa.array([], pa.int64())})
+            if len(self.cand) == 0:   # before any tokenization work
+                return empty
             texts = t.column(text_col).to_pandas()
             (row, _pos), h, _counts, _flat, _tok_row, grams = \
                 _positional_ngram_hashes(texts, k, hash_mod,
                                          with_grams=True)
-            if len(h) == 0 or len(self.cand) == 0:
-                return pa.table({"gram": pa.array([], pa.string()),
-                                 "n": pa.array([], pa.int64())})
+            if len(h) == 0:
+                return empty
             idx = np.searchsorted(self.cand, h)
             idx[idx == len(self.cand)] = 0
             flagged = self.cand[idx] == h
             d = pd.DataFrame({"r": row[flagged],
                               "gram": grams[flagged]}).drop_duplicates()
             g = d.groupby("gram", sort=False).size()
-            return pa.table({"gram": pa.array(g.index),
+            # explicit string type: an all-unflagged batch's empty
+            # index would otherwise infer pa.null() and mix schemas
+            return pa.table({"gram": pa.array(g.index, pa.string()),
                              "n": pa.array(g.to_numpy().astype(np.int64))})
 
     return docs_ds.map_batches(_Partial, batch_format="pyarrow",
@@ -211,15 +223,16 @@ def remove_repeated_spans(docs_ds, k: int = DEFAULT_K, min_docs: int = 2,
     ref = ray.put(dup_sorted)
 
     conf_ref = None
-    if exact:
+    if exact and len(dup_sorted):   # no candidates -> identity trim
         conf = confirmed_dup_grams(docs_ds, ref, k, min_docs, text_col,
-                                   hash_mod)
-        gparts = [b.column("gram").to_pandas()
-                  for b in conf.iter_batches(batch_format="pyarrow",
-                                             batch_size=None)]
-        grams_all = pd.concat(gparts, ignore_index=True) if gparts \
-            else pd.Series([], dtype=object)
-        total_bytes = int(grams_all.str.len().sum() * 4)  # UCS4 bound
+                                   hash_mod).materialize()
+        # enforce the byte cap DISTRIBUTIVELY, before any gram string
+        # reaches the driver — the guard must not itself OOM
+        total_bytes = 4 * int(conf.map_batches(
+            lambda t: pa.table({"b": pa.array(
+                [int(pc.sum(pc.utf8_length(t.column("gram"))).as_py()
+                     or 0)], pa.int64())}),
+            batch_format="pyarrow").sum("b") or 0)  # UCS4 bound
         if total_bytes > max_broadcast_bytes:
             raise ValueError(
                 f"remove_repeated_spans(exact=True): confirmed dup-gram "
@@ -227,6 +240,11 @@ def remove_repeated_spans(docs_ds, k: int = DEFAULT_K, min_docs: int = 2,
                 f"{max_broadcast_bytes}; shard the run by corpus "
                 "partition or fall back to the hashed mode (false-trim "
                 "rate documented in the module docstring)")
+        gparts = [b.column("gram").to_pandas()
+                  for b in conf.iter_batches(batch_format="pyarrow",
+                                             batch_size=None)]
+        grams_all = pd.concat(gparts, ignore_index=True) if gparts \
+            else pd.Series([], dtype=object)
         conf_ref = ray.put(pd.Index(grams_all))
 
     class _Trim:
@@ -236,9 +254,13 @@ def remove_repeated_spans(docs_ds, k: int = DEFAULT_K, min_docs: int = 2,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             texts = t.column(text_col).to_pandas()
+            exact_mode = self.conf is not None
+            # exact mode matches strings, so the per-window hash fold
+            # would be dead work on the hot trim pass — skip it
             (row, pos), h, counts, flat, tok_row, grams = \
                 _positional_ngram_hashes(texts, k, hash_mod,
-                                         with_grams=self.conf is not None)
+                                         with_grams=exact_mode,
+                                         with_hashes=not exact_mode)
             n_tok = len(flat)
             if n_tok == 0 or len(self.dup) == 0:
                 out = t.set_column(

@@ -245,3 +245,30 @@ def test_exact_mode_byte_cap_raises(ray_session):
     with pytest.raises(ValueError, match="max_broadcast_bytes"):
         remove_repeated_spans(rd.from_items(docs), k=4, exact=True,
                               max_broadcast_bytes=8)
+
+
+def test_exact_mode_no_duplicates_and_sparse_blocks(ray_session):
+    """exact=True with zero candidates skips the verification pass and
+    is an identity; with many blocks holding NO candidate windows the
+    per-batch partial must still emit string-typed (not null-typed)
+    gram columns — mixed-schema regression."""
+    import ray.data as rd
+
+    docs = [{"doc_id": f"d{i}", "text": f"u{i}a u{i}b u{i}c u{i}d u{i}e"}
+            for i in range(30)]
+    out = remove_repeated_spans(rd.from_items(docs), k=4,
+                                exact=True).to_pandas()
+    assert (out["removed_tokens"] == 0).all()
+
+    rep = "p q r s"
+    docs2 = [{"doc_id": "a", "text": f"x1 x2 {rep} x3"},
+             {"doc_id": "b", "text": f"y1 {rep} y2"}]
+    docs2 += [{"doc_id": f"z{i}", "text": f"n{i}a n{i}b n{i}c n{i}d n{i}e"}
+              for i in range(40)]
+    ds = rd.from_items(docs2).repartition(12)
+    out2 = remove_repeated_spans(ds, k=4, exact=True).to_pandas() \
+        .set_index("doc_id")
+    assert out2.loc["a", "removed_tokens"] == 4
+    assert out2.loc["b", "removed_tokens"] == 4
+    assert out2.loc[[f"z{i}" for i in range(40)],
+                    "removed_tokens"].eq(0).all()
