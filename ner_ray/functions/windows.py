@@ -15,6 +15,22 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _timestamp_us(col) -> np.ndarray:
+    """Timestamp column -> int64 microseconds since epoch. An int64
+    cast of a timestamp yields its NATIVE unit (ns for the pandas/Arrow
+    default), so slabbing that by a µs divisor would silently misplace
+    every slab edge ~1000x — in session_windows that flags every local
+    session as a boundary session and hands a hot key's entire history
+    back to the merge pass (the unbounded-task shape the slab
+    decomposition exists to prevent). ns->µs uses floor division
+    (truncation toward zero would misalign pre-epoch timestamps)."""
+    native = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+    unit = col.type.unit if pa.types.is_timestamp(col.type) else "us"
+    if unit == "ns":
+        return np.floor_divide(native, 1_000)
+    return native * {"s": 1_000_000, "ms": 1_000, "us": 1}[unit]
+
+
 def add_tumbling_bucket(ds, ts_col: str, unit: str = "day",
                         out_col: str = "bucket"):
     """Vectorized event-time bucketing (pc.floor_temporal)."""
@@ -114,11 +130,11 @@ def session_windows(ds, key: str, ts_col: str, gap_seconds: float,
             f"({gap_seconds}) for boundary merging to be exact")
 
     def slab(t: pa.Table) -> pa.Table:
-        ts_i = pc.cast(t.column(ts_col), pa.int64())
         return pa.table({
             key: t.column(key),
             ts_col: t.column(ts_col),
-            "_slab": pc.divide(ts_i, pa.scalar(slab_us, pa.int64())),
+            "_slab": pa.array(np.floor_divide(
+                _timestamp_us(t.column(ts_col)), slab_us)),
         })
 
     def local_sessions(g: pd.DataFrame) -> pd.DataFrame:

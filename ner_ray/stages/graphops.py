@@ -184,33 +184,24 @@ def _wedges_in_bucket(t: pa.Table) -> pa.Table:
     })
 
 
-def _oriented_edges_broadcast(edges_ds, degrees_ds):
-    """Map-only orientation: the (node, degree) table broadcasts once
-    via ray.put (sorted arrays + searchsorted lookup) — saves the two
-    degree-attach join shuffles whenever the node table is
-    driver-sized (<= MAX_BROADCAST_NODES)."""
-    import ray
-
+def _sorted_node_degrees(degrees_ds):
+    """Shared driver prologue of the broadcast graph paths: the
+    (node, degree) table collected and label-sorted so that
+    ``searchsorted`` rank-encoding is an exact bijection (ids are the
+    label ranks, so id order == label order)."""
     dt = degrees_ds.to_pandas()
     order = np.argsort(dt["node"].to_numpy())
-    nodes = dt["node"].to_numpy()[order].astype("U")
+    labels = dt["node"].to_numpy()[order].astype("U")
     degs = dt["degree"].to_numpy()[order].astype(np.int64)
-    ref = ray.put((nodes, degs))
+    return labels, degs
 
-    def orient(t: pa.Table, _ref=ref) -> pa.Table:
-        nd, dg = ray.get(_ref)
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        da = dg[np.searchsorted(nd, a)]
-        db = dg[np.searchsorted(nd, b)]
-        a_first = (da < db) | ((da == db) & (a < b))
-        return pa.table({
-            "src": pa.array(np.where(a_first, a, b)),
-            "dst": pa.array(np.where(a_first, b, a)),
-            "dst_deg": pa.array(np.where(a_first, db, da)),
-        })
 
-    return edges_ds.map_batches(orient, batch_format="pyarrow")
+def _encode_ids(lab, col) -> np.ndarray:
+    """Label column -> dense int64 rank ids against the sorted label
+    vector (exact: every edge endpoint appears in the degree table)."""
+    return np.searchsorted(
+        lab, col.to_numpy(zero_copy_only=False).astype("U")
+    ).astype(np.int64)
 
 
 def _triangle_rows_broadcast(edges_ds, degrees_ds, num_buckets: int):
@@ -225,10 +216,7 @@ def _triangle_rows_broadcast(edges_ds, degrees_ds, num_buckets: int):
     work bound sum(min(deg, sqrt(2m))^2)."""
     import ray
 
-    dt = degrees_ds.to_pandas()
-    order = np.argsort(dt["node"].to_numpy())
-    labels = dt["node"].to_numpy()[order].astype("U")
-    degs = dt["degree"].to_numpy()[order].astype(np.int64)
+    labels, degs = _sorted_node_degrees(degrees_ds)
     n = len(labels)
     ref = ray.put((labels, degs))
     cap = np.sqrt(float(degs.sum()))          # oriented outdeg <= sqrt(2m)
@@ -238,19 +226,17 @@ def _triangle_rows_broadcast(edges_ds, degrees_ds, num_buckets: int):
 
     def orient_ids(t: pa.Table) -> pa.Table:
         lab, dg = ray.get(ref)
-        a = np.searchsorted(lab, t.column("a").to_numpy(
-            zero_copy_only=False).astype("U"))
-        b = np.searchsorted(lab, t.column("b").to_numpy(
-            zero_copy_only=False).astype("U"))
+        a = _encode_ids(lab, t.column("a"))
+        b = _encode_ids(lab, t.column("b"))
         da, db = dg[a], dg[b]
         # ids are label-sorted ranks, so id order == label order and
         # the (degree, label) tie-break is exactly (degree, id)
         a_first = (da < db) | ((da == db) & (a < b))
-        src = np.where(a_first, a, b).astype(np.int64)
+        src = np.where(a_first, a, b)
         return pa.table({
             "src": pa.array(src),
-            "dst": pa.array(np.where(a_first, b, a).astype(np.int64)),
-            "dd": pa.array(np.where(a_first, db, da).astype(np.int64)),
+            "dst": pa.array(np.where(a_first, b, a)),
+            "dd": pa.array(np.where(a_first, db, da)),
             "_bkt": pa.array(src % wedge_buckets),
         })
 
@@ -429,10 +415,8 @@ def _two_hop_broadcast(edges_ds, degrees_ds, num_buckets: int,
     Shuffle payloads are int64 scalars only."""
     import ray
 
-    dt = degrees_ds.to_pandas()
-    order = np.argsort(dt["node"].to_numpy())
-    labels = dt["node"].to_numpy()[order].astype("U")
-    degs = dt["degree"].to_numpy()[order].astype(np.float64)
+    labels, degs = _sorted_node_degrees(degrees_ds)
+    degs = degs.astype(np.float64)
     n = len(labels)
     hot_ids = np.array([], dtype=np.int64)
     if max_mid_degree is not None:
@@ -456,12 +440,10 @@ def _two_hop_broadcast(edges_ds, degrees_ds, num_buckets: int,
 
     def sym_ids(t: pa.Table) -> pa.Table:
         lab, hot = ray.get(ref)
-        a = np.searchsorted(lab, t.column("a").to_numpy(
-            zero_copy_only=False).astype("U"))
-        b = np.searchsorted(lab, t.column("b").to_numpy(
-            zero_copy_only=False).astype("U"))
-        m = np.concatenate([a, b]).astype(np.int64)
-        u = np.concatenate([b, a]).astype(np.int64)
+        a = _encode_ids(lab, t.column("a"))
+        b = _encode_ids(lab, t.column("b"))
+        m = np.concatenate([a, b])
+        u = np.concatenate([b, a])
         if len(hot):
             keep = ~np.isin(m, hot)
             m, u = m[keep], u[keep]
@@ -485,17 +467,15 @@ def _two_hop_broadcast(edges_ds, degrees_ds, num_buckets: int,
         ai = starts[grp] + within // sizes[grp]
         bi = starts[grp] + within % sizes[grp]
         src, dst = u[ai], u[bi]
-        codes = src[src != dst] * n + dst[src != dst]
-        codes = np.unique(codes)  # map-side partial dedup
+        ne = src != dst
+        codes = np.unique(src[ne] * n + dst[ne])  # map-side partial dedup
         return pa.table({"_c": pa.array(codes),
                          "_b2": pa.array((codes // n) % fin_buckets)})
 
     def edge_codes(t: pa.Table) -> pa.Table:
         lab, _ = ray.get(ref)
-        a = np.searchsorted(lab, t.column("a").to_numpy(
-            zero_copy_only=False).astype("U")).astype(np.int64)
-        b = np.searchsorted(lab, t.column("b").to_numpy(
-            zero_copy_only=False).astype("U")).astype(np.int64)
+        a = _encode_ids(lab, t.column("a"))
+        b = _encode_ids(lab, t.column("b"))
         codes = np.concatenate([a * n + b, b * n + a])
         return pa.table({"_c": pa.array(codes),
                          "_b2": pa.array((codes // n) % fin_buckets)})

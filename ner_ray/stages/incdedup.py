@@ -56,7 +56,11 @@ from ner_ray.util.hashing import hash_column, hash_columns, to_bucket
 
 _LOG = logging.getLogger(__name__)
 
-INDEX_FORMAT = 1
+# v2: minhash shingle hashing switched to the portable text hash
+# (ner_ray/util/hashing.py) — v1 indexes hold signatures/band keys from
+# the old kernel, so probing them with the new hash would silently miss
+# every near-duplicate; the format bump makes _config_fp reject them.
+INDEX_FORMAT = 2
 MANIFEST = "_INDEX_MANIFEST.json"
 DOCS_DIR = "docs"
 BANDS_DIR = "bands"
@@ -119,7 +123,14 @@ def _read_manifest(index_dir: str, filesystem=None) -> dict:
     if fs.get_file_info(marker).type != pafs.FileType.File:
         raise FileNotFoundError(f"no dedup index manifest at {marker}")
     with fs.open_input_stream(marker) as f:
-        return json.loads(f.read().decode())
+        m = json.loads(f.read().decode())
+    if m.get("format") != INDEX_FORMAT:
+        raise ValueError(
+            f"dedup index at {root} has format {m.get('format')}; this "
+            f"code expects {INDEX_FORMAT}. Signatures/band keys from an "
+            "older kernel would silently miss every near-duplicate — "
+            "rebuild with build_dedup_index().")
+    return m
 
 
 def _write_manifest(index_dir: str, manifest: dict, filesystem=None):

@@ -142,11 +142,19 @@ def fit_langid(ds, text_col: str = "text", label_col: str = "lang",
 
     def partials(W_now, b_now):
         def grad(t: pa.Table) -> pa.Table:
+            y = lab_index.get_indexer(
+                t.column(label_col).to_pylist())
+            # get_indexer returns -1 for null/unseen labels; -1 would
+            # silently index the LAST class in the loss/gradient
+            # fancy-indexing below, training such rows as an arbitrary
+            # language — drop them instead (they carry no supervision)
+            ok = y >= 0
+            if not ok.all():
+                t = t.filter(pa.array(ok))
+                y = y[ok]
             nr = len(t)
             rows, buckets, vals = _design(
                 t.column(text_col), num_buckets, n_lo, n_hi)
-            y = lab_index.get_indexer(
-                t.column(label_col).to_pylist())
             Z = _logits(rows, buckets, vals, W_now, b_now, nr)
             Z -= Z.max(axis=1, keepdims=True)
             P = np.exp(Z)

@@ -174,8 +174,13 @@ def confirmed_dup_grams(docs_ds, cand_ref, k: int, min_docs: int,
             return pa.table({"gram": pa.array(g.index, pa.string()),
                              "n": pa.array(g.to_numpy().astype(np.int64))})
 
+    from ner_ray.util.pools import auto_pool
+
+    # full re-tokenize pass over every document — size the pool from
+    # the CPU budget (a fixed cap was the measured curate-chain
+    # bottleneck for exactly this per-doc-heavy stage shape)
     return docs_ds.map_batches(_Partial, batch_format="pyarrow",
-                               concurrency=(1, 8), num_cpus=1) \
+                               concurrency=auto_pool(), num_cpus=1) \
         .groupby("gram").aggregate(Sum("n", alias_name="n_docs")) \
         .filter(expr=f"n_docs >= {int(min_docs)}")
 

@@ -140,3 +140,22 @@ def test_layout_independence(ray_session, minhash_index):
         rd.from_arrow(_tbl(_corpus_b())).repartition(5), minhash_index,
         threshold=0.5)
     assert _ids(one) == _ids(many)
+
+
+def test_stale_index_format_rejected(ray_session, minhash_index):
+    import json
+
+    import ray.data as rd
+
+    from ner_ray.stages.incdedup import MANIFEST, dedup_against_index
+
+    # regression: the shingle-hash kernel changed in format v2 — a v1
+    # index's band keys/signatures would silently miss every near-dup.
+    # A manifest claiming an older format must hard-fail, not degrade.
+    mpath = f"{minhash_index}/{MANIFEST}"
+    m = json.loads(open(mpath).read())
+    m["format"] = 1
+    open(mpath, "w").write(json.dumps(m))
+    with pytest.raises(ValueError, match="format"):
+        dedup_against_index(rd.from_arrow(_tbl(_corpus_b())),
+                            minhash_index)

@@ -108,3 +108,27 @@ def test_needs_two_labels(ray_session):
                         "text": ["hello"]})
     with pytest.raises(ValueError, match="2 distinct labels"):
         fit_langid(rd.from_pandas(one))
+
+
+def test_null_labels_are_dropped_not_mistrained(ray_session):
+    import ray.data as rd
+
+    from ner_ray.stages.langid import fit_langid
+
+    # regression: pd.Index.get_indexer maps a null label to -1, which
+    # fancy-indexes the LAST class — null rows trained as arbitrary
+    # supervision. They must contribute nothing: a fit over labeled
+    # rows + nulls must equal the fit over the labeled rows alone
+    # (single block -> deterministic partial order -> bitwise equal).
+    df = _corpus(20, seed=7)
+    nulls = pd.DataFrame({
+        "doc_id": [f"null-{i}" for i in range(30)],
+        "lang": [None] * 30,
+        "text": ["zzzz qqqq jjjj xxxx wwww"] * 30,
+    })
+    both = pd.concat([df, nulls], ignore_index=True)
+    m_clean = fit_langid(rd.from_pandas(df), num_buckets=256, epochs=5)
+    m_mixed = fit_langid(rd.from_pandas(both), num_buckets=256, epochs=5)
+    assert m_mixed["langs"] == m_clean["langs"]
+    np.testing.assert_allclose(m_mixed["W"], m_clean["W"], rtol=1e-12)
+    np.testing.assert_allclose(m_mixed["b"], m_clean["b"], rtol=1e-12)

@@ -99,3 +99,43 @@ def test_slab_validation(ray_session):
     with pytest.raises(ValueError, match="slab_seconds"):
         session_windows(rd.from_pandas(df), "user_id", "ts", GAP,
                         slab_seconds=GAP / 2)
+
+
+def test_timestamp_us_unit_aware():
+    # regression: an int64 cast of a timestamp yields its NATIVE unit,
+    # so a ns column slabbed by a µs divisor put every slab edge ~1000x
+    # off — flagging every local session as boundary and rebuilding the
+    # unbounded per-key merge group. _timestamp_us must normalize every
+    # Arrow unit (incl. pre-epoch values, where truncation-toward-zero
+    # would misalign edges).
+    from ner_ray.functions.windows import _timestamp_us
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20 in µs
+    for unit, factor in (("s", 10**-6), ("ms", 10**-3), ("us", 1)):
+        col = pa.chunked_array([pa.array(
+            [int(base_us * factor), 0, int(-86_400_000_000 * factor)],
+            pa.timestamp(unit))])
+        np.testing.assert_array_equal(
+            _timestamp_us(col), [base_us, 0, -86_400_000_000])
+    ns = pa.chunked_array([pa.array(
+        [base_us * 1000 + 999, 999, -999], pa.timestamp("ns"))])
+    # ns floors toward -inf: -999 ns lies in the µs [-1000, 0) -> -1
+    np.testing.assert_array_equal(
+        _timestamp_us(ns), [base_us, 0, -1])
+
+
+def test_ns_timestamps_slab_boundedly(ray_session):
+    import ray.data as rd
+
+    # ns-typed column (the pandas default): results must match brute
+    # force AND the slab decomposition must actually engage — with the
+    # unit bug every event landed in mega-slabs, all sessions became
+    # boundary sessions, and the hot key's history re-unified.
+    df = _events(800, keys=5)
+    df["ts"] = df["ts"].astype("datetime64[ns]")
+    got = _collect(session_windows(
+        rd.from_pandas(df).repartition(5), "user_id", "ts", GAP,
+        slab_seconds=4 * GAP))
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_start", "session_end", "n_events"]],
+        _brute(df), check_dtype=False)
