@@ -146,10 +146,11 @@ def run_bench() -> dict:
         if not os.path.exists(os.path.join(corpus_dir, "_COMPLETE")):
             os.replace(tmp, corpus_dir)
     # warm the STAGED corpus too (it is what the timed section reads)
-    for name in os.listdir(corpus_dir):
-        with open(os.path.join(corpus_dir, name), "rb") as f:
-            while f.read(1 << 24):
-                pass
+    for root, _dirs, names in os.walk(corpus_dir):
+        for name in names:
+            with open(os.path.join(root, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
     import pyarrow.parquet as _pq
 
     n_docs = _pq.read_metadata(
@@ -290,7 +291,7 @@ def _stage_curate_corpus(n_docs: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    corpus_dir = f"/tmp/ner_ray_curate_corpus/n{n_docs}_v1"
+    corpus_dir = f"/tmp/ner_ray_curate_corpus/n{n_docs}_v2"
     if os.path.exists(os.path.join(corpus_dir, "_COMPLETE")):
         return corpus_dir
     rng = np.random.default_rng(20260819)
@@ -321,8 +322,19 @@ def _stage_curate_corpus(n_docs: int) -> str:
     tmp = f"{corpus_dir}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     tbl = pa.table({"doc_id": pa.array(ids), "html": pa.array(htmls)})
-    # many row groups -> many Ray read blocks -> real parallelism
-    pq.write_table(tbl, f"{tmp}/crawl.parquet", row_group_size=2048)
+    # MANY FILES, not just many row groups: Ray issues one read TASK
+    # per file (a single file read is 1 task that only SplitBlocks its
+    # output), and the task-based extract/filter chain fuses into the
+    # read — so file count IS the parallelism of the whole map prefix.
+    # A real crawl is thousands of shard files; 64 mirrors that.
+    os.makedirs(f"{tmp}/crawl", exist_ok=True)
+    n_files = 64
+    step = -(-len(tbl) // n_files)
+    for fi in range(n_files):
+        part = tbl.slice(fi * step, step)
+        if len(part):
+            pq.write_table(part, f"{tmp}/crawl/part-{fi:05d}.parquet",
+                           row_group_size=2048)
     ev = [texts[i] for i in range(0, n_docs, 97)]
     pq.write_table(pa.table({"text": pa.array(ev)}),
                    f"{tmp}/eval.parquet")
@@ -370,15 +382,16 @@ def run_curate_bench() -> dict:
 
     n_docs = int(os.environ.get("NER_RAY_CURATE_DOCS", "30000"))
     corpus_dir = _stage_curate_corpus(n_docs)
-    for name in os.listdir(corpus_dir):
-        with open(os.path.join(corpus_dir, name), "rb") as f:
-            while f.read(1 << 24):
-                pass
+    for root, _dirs, names in os.walk(corpus_dir):
+        for name in names:
+            with open(os.path.join(root, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
     os.sync()
     out_dir = f"/tmp/ner_ray_curate_out_{os.getpid()}"
 
     t0 = time.perf_counter()
-    docs = rd.read_parquet(f"{corpus_dir}/crawl.parquet")
+    docs = rd.read_parquet(f"{corpus_dir}/crawl")
     eval_ds = rd.read_parquet(f"{corpus_dir}/eval.parquet")
     target_ds = rd.read_parquet(f"{corpus_dir}/target.parquet")
     manifest = curate_pretrain(
@@ -432,9 +445,13 @@ def run_scaling_curate() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    NER_RAY_BENCH_MODE="curate")
-        # 2x the plain-bench corpus so compute dominates the ~10 s
-        # fixed overhead (same rationale as run_scaling's replicas)
-        env.setdefault("NER_RAY_CURATE_DOCS", "60000")
+        # 24x the plain-bench corpus so compute dominates the fixed
+        # overhead (same rationale as run_scaling's 1M-doc corpus): on
+        # a fast host 60k docs finished in ~14 s at 32 CPUs — mostly
+        # session spin-up + per-shuffle latency, which measured 0.46
+        # "efficiency" that was really overhead ratio, not scaling.
+        # Staging is one-time (cached by n_docs).
+        env.setdefault("NER_RAY_CURATE_DOCS", "720000")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, timeout=3600,

@@ -18,7 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ner_ray.stages.textstats import LangIdStage, quality_batch
-from ner_ray.util.pools import auto_pool as _filter_pool
 
 
 class QualityFilterStage:
@@ -190,18 +189,24 @@ def clean_corpus(docs_ds, text_col: str = "text", id_col: str = "doc_id",
                   f"|{max_top2gram_frac}|{max_dup5gram_frac}")
 
     def run_filter():
+        # task-based with a per-process cached stage instance: the
+        # filter's state (stopword profiles, compiled kernels) is
+        # trivial to build, so warm-worker tasks beat an actor pool's
+        # per-stage spin-up (util/procstage.py) and autoscale freely
+        from ner_ray.util.procstage import stage_fn
+
         return docs_ds.map_batches(
-            QualityFilterStage, batch_format="pyarrow",
-            fn_constructor_kwargs={
-                "text_col": text_col, "id_col": id_col,
-                "min_words": min_words,
-                "min_mean_word_len": min_mean_word_len,
-                "max_mean_word_len": max_mean_word_len,
-                "min_uniq_ratio": min_uniq_ratio, "langs": langs,
-                "min_lang_score": min_lang_score,
-                "max_top2gram_frac": max_top2gram_frac,
-                "max_dup5gram_frac": max_dup5gram_frac,
-            }, concurrency=_filter_pool(), num_cpus=1)
+            stage_fn(
+                QualityFilterStage,
+                text_col=text_col, id_col=id_col, min_words=min_words,
+                min_mean_word_len=min_mean_word_len,
+                max_mean_word_len=max_mean_word_len,
+                min_uniq_ratio=min_uniq_ratio,
+                langs=tuple(langs) if langs else None,
+                min_lang_score=min_lang_score,
+                max_top2gram_frac=max_top2gram_frac,
+                max_dup5gram_frac=max_dup5gram_frac),
+            batch_format="pyarrow", num_cpus=1)
 
     fp_prev, filtered = _stage("clean_filter", [docs_fp, cfg_filter],
                                run_filter)

@@ -118,22 +118,23 @@ class HtmlExtractStage:
 def extract_text_from_html(ds, html_col: str = "html",
                            text_col: str = "text",
                            title_col: str = "title",
-                           concurrency=None,
+                           concurrency: int | None = None,
                            drop_html: bool = True):
     """Append extracted ``text_col`` / ``title_col``; optionally drop
     the raw HTML column immediately so the heavy payload leaves the
     stream at the earliest stage (prune-at-the-read rule).
-    ``concurrency`` defaults to a CPU-budget-sized pool (util/pools.py)
-    — parsing is the per-doc-heaviest stage of a crawl chain and a
-    fixed cap was the measured curate-scaling bottleneck."""
-    if concurrency is None:
-        from ner_ray.util.pools import auto_pool
 
-        concurrency = auto_pool()
+    Task-based, not an actor pool: the stage builds a fresh parser per
+    document anyway (no shared state worth an actor), and tasks run on
+    the session's warm reused workers — an actor pool here paid ~3-5 s
+    of per-stage spin-up, the measured fixed-cost floor of the curate
+    chain (util/procstage.py). ``concurrency`` caps concurrent tasks
+    when set; default lets the streaming executor scale."""
+    from ner_ray.util.procstage import stage_fn
+
     out = ds.map_batches(
-        HtmlExtractStage, fn_constructor_kwargs={
-            "html_col": html_col, "text_col": text_col,
-            "title_col": title_col},
+        stage_fn(HtmlExtractStage, html_col=html_col, text_col=text_col,
+                 title_col=title_col),
         batch_format="pyarrow", concurrency=concurrency)
     # when extraction writes INTO the html column (html_col == text_col
     # or title_col) the stage already replaced it — dropping it here
