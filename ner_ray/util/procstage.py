@@ -24,15 +24,29 @@ from __future__ import annotations
 _CACHE: dict = {}
 
 
+class _StageFn:
+    """Callable object (NOT a class — Ray Data would treat a class as
+    an actor stage) that lazily builds ``cls(**kwargs)`` once per
+    worker process. Plain-picklable: state is just (cls, kwargs
+    tuple), so it survives std pickle as well as cloudpickle."""
+
+    __slots__ = ("cls", "kwargs")
+
+    def __init__(self, cls, kwargs: tuple):
+        self.cls, self.kwargs = cls, kwargs
+
+    def __reduce__(self):
+        return (_StageFn, (self.cls, self.kwargs))
+
+    def __call__(self, batch):
+        key = (self.cls, self.kwargs)
+        inst = _CACHE.get(key)
+        if inst is None:
+            inst = _CACHE.setdefault(key, self.cls(**dict(self.kwargs)))
+        return inst(batch)
+
+
 def stage_fn(cls, /, **kwargs):
     """A picklable batch function that lazily builds ``cls(**kwargs)``
     once per worker process (kwargs must be hashable)."""
-    key = (cls, tuple(sorted(kwargs.items())))
-
-    def fn(batch):
-        inst = _CACHE.get(key)
-        if inst is None:
-            inst = _CACHE.setdefault(key, cls(**kwargs))
-        return inst(batch)
-
-    return fn
+    return _StageFn(cls, tuple(sorted(kwargs.items())))

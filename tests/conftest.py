@@ -2,7 +2,37 @@
 
 from __future__ import annotations
 
+import signal
+
 import pytest
+
+# Ray 2.49 occasionally wedges its streaming executor on this sandbox
+# (observed twice: a ReadParquet task futex-parked; a Sort op's
+# boundary sampling blocking the scheduling loop) — the test then
+# waits forever on get_output_blocking. The slowest healthy test is
+# ~4 min at 4 CPUs; at 14 min we raise in the main thread so the test
+# FAILS with a stack instead of hanging the suite (pytest.ini's
+# faulthandler_timeout=900 stays as the dump-only backstop). SIGALRM
+# interrupts the main thread's condition wait; the wedged executor
+# thread may poison later tests in the same session, but a loud
+# cascade still beats a silent hang.
+_STALL_LIMIT_S = 840
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded {_STALL_LIMIT_S}s — "
+            "Ray-internal stall guard (see conftest.py)")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(_STALL_LIMIT_S)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture(scope="session")
