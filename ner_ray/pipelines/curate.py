@@ -32,7 +32,7 @@ def curate_pretrain(docs_ds, *, html_col: str | None = None,
                     select: tuple | None = None,
                     pack_tokens: int | None = None,
                     pack_kwargs: dict | None = None,
-                    out_dir: str | None = None, num_shards: int = 16,
+                    out_dir: str | None = None, num_shards: int | None = None,
                     seed: int = 42):
     """Run the curation chain; returns the final Dataset (or the shard
     manifest dict when ``out_dir`` is given).

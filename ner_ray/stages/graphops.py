@@ -864,25 +864,33 @@ def label_propagation(edges_ds, max_rounds: int = 20,
 
     def precount(t: pa.Table) -> pa.Table:
         # per-batch (node, label) vote reduction; "own" tags the
-        # self-vote so pick() can see the OLD label and emit a changed
-        # flag — no separate old-vs-new join per round
+        # self-vote so the pick stage can see the OLD label and emit a
+        # changed flag — no separate old-vs-new join per round. The
+        # shuffle groups by a coarse node-hash bucket, NOT per node:
+        # one Python map_groups dispatch per node per round (~1 ms
+        # each, see neardup.py's measurement) would dominate at graph
+        # scale; per bucket the argmax is one vectorized pass.
         g = t.group_by(["node", "label"]).aggregate(
             [("own", "count"), ("own", "max")])
-        return g.select(["node", "label", "own_count", "own_max"]) \
+        g = g.select(["node", "label", "own_count", "own_max"]) \
             .rename_columns(["node", "label", "n", "own"])
+        return g.append_column("_bkt", pa.array(to_bucket(
+            hash_columns(g.column("node")), num_buckets)))
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        # final vote merge + argmax fused in ONE per-node group (each
-        # node's candidate labels are bounded by its degree)
-        c = g.groupby("label", sort=False).agg(
+    def pick_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-bucket finale: sum votes per (node, label),
+        # argmax per node (max n, ties -> min label — same total order
+        # as the previous per-node pick), changed-flag vs the own row
+        c = g.groupby(["node", "label"], sort=False).agg(
             n=("n", "sum"), own=("own", "max")).reset_index()
-        c = c.sort_values(["n", "label"], ascending=[False, True],
-                          kind="stable")
-        new = c["label"].iloc[0]
-        old_rows = c.loc[c["own"] == 1, "label"]
-        old = old_rows.iloc[0] if len(old_rows) else None
-        return pd.DataFrame({"node": [g["node"].iloc[0]], "label": [new],
-                             "_chg": [int(new != old)]})
+        c = c.sort_values(["node", "n", "label"],
+                          ascending=[True, False, True], kind="stable")
+        top = c.drop_duplicates("node", keep="first")
+        olds = c.loc[c["own"] == 1, ["node", "label"]] \
+            .drop_duplicates("node").rename(columns={"label": "_old"})
+        out = top.merge(olds, on="node", how="left")
+        out["_chg"] = (out["label"] != out["_old"]).astype(int)
+        return out[["node", "label", "_chg"]]
 
     def tag(own: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -903,7 +911,9 @@ def label_propagation(edges_ds, max_rounds: int = 20,
         new_labels = nbr_votes.union(
             labels.map_batches(tag(1), batch_format="pyarrow")) \
             .map_batches(precount, batch_format="pyarrow") \
-            .groupby("node").map_groups(pick, batch_format="pandas") \
+            .groupby("_bkt").map_groups(
+                lambda g: pick_bucket(g.drop(columns=["_bkt"])),
+                batch_format="pandas") \
             .materialize()
         changed = int(new_labels.sum("_chg") or 0)
         labels = new_labels.select_columns(["node", "label"])

@@ -485,7 +485,8 @@ MAX_DRIVER_VERIFY_PAIRS = 100_000
 
 
 def minhash_near_dups(docs_ds, text_col: str = "text", k: int = 3,
-                      threshold: float = 0.7, num_partitions: int = 8,
+                      threshold: float = 0.7,
+                      num_partitions: int | None = None,
                       max_driver_verify_pairs: int = MAX_DRIVER_VERIFY_PAIRS,
                       pair_mode: str = "all",
                       max_bucket_size: int | None =
@@ -535,6 +536,17 @@ def minhash_near_dups(docs_ds, text_col: str = "text", k: int = 3,
                  "doc_b": pd.Series([], dtype=object),
                  "jaccard": pd.Series([], dtype=float)}))
     docs = docs_ds.select_columns(["doc_id", text_col])
+    if num_partitions is None:
+        # this join shuffles the docs TEXT payload: size partitions
+        # from corpus bytes (~TARGET_GROUP_BYTES each) instead of a
+        # constant — a fixed 8 makes each aggregator hold corpus/8
+        # bytes at scale. Capped at the CPU budget: a Dataset.join
+        # whose aggregators exceed available CPUs deadlocks the
+        # streaming executor (functions/joins.clamp_join_partitions).
+        from ner_ray.functions.joins import clamp_join_partitions
+
+        num_partitions = clamp_join_partitions(
+            max(8, _auto_buckets(docs_ds)))
     side_a = docs.map_batches(
         lambda t: t.rename_columns(["doc_a", "text_a"]),
         batch_format="pyarrow")
@@ -817,7 +829,10 @@ def near_dedup_docs(docs_ds, method: str = "minhash",
             batch_format="pyarrow")
         reps = typed.groupby("comp").aggregate(
             Min("eid", alias_name="rep"))
-        joined = typed.join(reps, join_type="inner", num_partitions=8,
+        from ner_ray.functions.joins import clamp_join_partitions
+
+        joined = typed.join(reps, join_type="inner",
+                            num_partitions=clamp_join_partitions(8),
                             on=("comp",))
         drops = joined.map_batches(
             lambda t: t.filter(pc.not_equal(t.column("eid"),
@@ -1048,12 +1063,32 @@ def dedup_paragraphs(docs_ds, text_col: str = "text",
             bucket = np.where(
                 empty, (rep + idx).astype(bucket.dtype) % num_buckets,
                 bucket)
-        return pa.table({
+        tb = pa.table({
             id_col: pa.array(ids[rep]),
             "para_idx": pa.array(idx.astype(np.int64)),
             "para": flat,
             "_b": pa.array(bucket),
         })
+        # map-side combiner: within this batch, only the first
+        # (doc_id, para_idx) occurrence of each distinct non-empty
+        # paragraph can be the GLOBAL first — every other in-batch
+        # occurrence is a certain loser and never enters the shuffle.
+        # A hot boilerplate paragraph (the operator's own use case)
+        # then ships at most one row per block into its hash bucket,
+        # bounding the keep-first group by block count instead of
+        # occurrence count. Same string-compare sort as keep_first, so
+        # hash collisions cannot merge distinct paragraphs here either;
+        # applying keep-first twice is idempotent by construction.
+        df = pd.DataFrame({"para": flat.to_pandas(),
+                           "id": ids[rep], "idx": idx})
+        s = df.sort_values(["para", "id", "idx"], kind="stable")
+        dup = s["para"].duplicated().to_numpy() \
+            & (s["para"].to_numpy() != "")
+        if dup.any():
+            keep = np.ones(len(df), dtype=bool)
+            keep[s.index.to_numpy()[dup]] = False
+            tb = tb.filter(pa.array(keep))
+        return tb
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(["para", id_col, "para_idx"], kind="stable")

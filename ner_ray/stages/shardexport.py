@@ -80,13 +80,25 @@ def completed_shards(out_dir: str, num_shards: int) -> set[int]:
     return done
 
 
-def export_shards(ds, out_dir: str, num_shards: int, seed: int = 42,
-                  id_col: str = "doc_id") -> dict:
+def export_shards(ds, out_dir: str, num_shards: int | None = None,
+                  seed: int = 42, id_col: str = "doc_id") -> dict:
     """Write ``num_shards`` deterministic shard files under
     ``out_dir`` (shard-NNNNN.parquet + _shard_NNNNN.json sidecars +
     _MANIFEST.json). Returns the manifest. Rerunning after a kill
     skips finished shards (their rows are filtered out BEFORE the
-    shuffle); rerunning a finished export writes nothing."""
+    shuffle); rerunning a finished export writes nothing.
+
+    ``num_shards=None`` auto-sizes from input bytes (~TARGET_GROUP_
+    BYTES of payload per shard): one shard is one map_groups task
+    holding the whole shard in memory before its single-file write, so
+    a constant count makes each task hold corpus/N bytes — OOM at
+    scale. The auto-size needs a materialized / read-rooted input for
+    its metadata probe (lazy chains get the floor of 16 — pass an
+    explicit count there). The chosen count is PINNED to
+    ``_NUM_SHARDS.json`` before any shard writes, and reruns reuse the
+    pin: shard membership depends on the count, so a resume must never
+    re-derive it from a (layout-dependent) size estimate. An explicit
+    ``num_shards`` conflicting with an existing pin raises."""
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
@@ -96,6 +108,27 @@ def export_shards(ds, out_dir: str, num_shards: int, seed: int = 42,
         # the export complete (key out_dir by input fingerprint — the
         # CheckpointManager.stage_dir pattern — to invalidate on change)
         return json.load(open(manifest_path))
+    pin_path = os.path.join(out_dir, "_NUM_SHARDS.json")
+    pinned = (json.load(open(pin_path))["num_shards"]
+              if os.path.exists(pin_path) else None)
+    if num_shards is None:
+        if pinned is not None:
+            num_shards = pinned
+        else:
+            from ner_ray.stages.neardup import _auto_buckets
+
+            num_shards = _auto_buckets(ds)
+    elif pinned is not None and pinned != num_shards:
+        raise ValueError(
+            f"export at {out_dir} was started with num_shards={pinned} "
+            f"but this run requests {num_shards}: shard membership "
+            "depends on the count, so resuming would corrupt the "
+            "export. Reuse the pinned count or start a fresh out_dir.")
+    if pinned is None:
+        ptmp = pin_path + f".tmp.{os.getpid()}"
+        with open(ptmp, "w") as f:
+            json.dump({"num_shards": int(num_shards)}, f)
+        os.replace(ptmp, pin_path)
     done = completed_shards(out_dir, num_shards)
 
     tagged = assign_shards(ds, num_shards, seed=seed, id_col=id_col)

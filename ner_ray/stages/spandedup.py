@@ -300,5 +300,10 @@ def remove_repeated_spans(docs_ds, k: int = DEFAULT_K, min_docs: int = 2,
                 pa.array(new_texts, pa.string()))
             return out.append_column("removed_tokens", pa.array(removed))
 
+    # per-doc-heavy (full re-tokenize + window union per doc): size the
+    # pool from the CPU budget like the verify pass — a fixed cap here
+    # serializes the whole-corpus trim pass on a big cluster
+    from ner_ray.util.pools import auto_pool
+
     return docs_ds.map_batches(_Trim, batch_format="pyarrow",
-                               concurrency=(1, 8), num_cpus=1)
+                               concurrency=auto_pool(), num_cpus=1)

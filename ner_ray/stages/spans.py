@@ -92,23 +92,45 @@ def span_invariant_verdicts(input_ds, output_ds, num_partitions: int = 4):
     the FULL outer join (an inner join would silently shrink — the
     exact violation the invariant exists to catch). The output side is
     materialized first when it hangs off an actor pool (JoinOperator
-    scheduling note at canon.py:236)."""
+    scheduling note at canon.py:236).
 
-    def _sig(col_name):
+    The join ships a 128-bit signature DIGEST (two independent 64-bit
+    text hashes), not the signature string: the raw signature embeds
+    every span's text verbatim, so joining it would shuffle ~2x the
+    corpus text to compare per-doc equality that scalars decide. A
+    digest collision can only mis-report equal=True for a differing
+    doc — at 2^-128 per doc-pair, negligible against the audit's
+    purpose; equality of equal=False verdicts is exact."""
+    from ner_ray.functions.joins import clamp_join_partitions
+    from ner_ray.util.hashing import hash_column
+
+    def _sig(prefix):
         def f(t: pa.Table) -> pa.Table:
-            return spans_signature(t).rename_columns(["doc_id", col_name])
+            sig = spans_signature(t)
+            s = sig.column("span_sig")
+            h1 = hash_column(s).view(np.int64)
+            # second digest half from a salted rehash (a different
+            # input string, so an h1 collision does not propagate)
+            h2 = hash_column(pc.binary_join_element_wise(
+                s, "\x00sig2", "")).view(np.int64)
+            return pa.table({"doc_id": sig.column("doc_id"),
+                             f"{prefix}_h1": pa.array(h1),
+                             f"{prefix}_h2": pa.array(h2)})
         return f
 
-    a = input_ds.map_batches(_sig("span_sig_in"), batch_format="pyarrow")
-    b = output_ds.map_batches(_sig("span_sig_out"),
+    a = input_ds.map_batches(_sig("in"), batch_format="pyarrow")
+    b = output_ds.map_batches(_sig("out"),
                               batch_format="pyarrow").materialize()
     joined = a.join(b, join_type="full_outer",
-                    num_partitions=num_partitions, on=("doc_id",))
+                    num_partitions=clamp_join_partitions(num_partitions),
+                    on=("doc_id",))
 
     def verdict(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        eq = pc.equal(t.column("span_sig_in"), t.column("span_sig_out"))
+        eq = pc.and_(
+            pc.equal(t.column("in_h1"), t.column("out_h1")),
+            pc.equal(t.column("in_h2"), t.column("out_h2")))
         return pa.table({
             "doc_id": t.column("doc_id"),
             "equal": pc.coalesce(eq, pa.scalar(False)),
@@ -119,20 +141,13 @@ def span_invariant_verdicts(input_ds, output_ds, num_partitions: int = 4):
 
 def check_span_invariant(input_ds, output_ds) -> bool:
     """True iff every doc's span signature in output equals the input's
-    (order-sensitive). Both datasets must carry doc_id + spans."""
-    import pandas as pd
+    (order-sensitive), with no docs dropped or fabricated. Fully
+    distributed (rides span_invariant_verdicts — only (doc_id, bool)
+    rows exist anywhere; the previous form pulled both corpora's
+    full-text signatures onto the driver)."""
+    def bad(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("equal"))) \
+            .select(["doc_id"])
 
-    a = (
-        input_ds.map_batches(spans_signature, batch_format="pyarrow")
-        .to_pandas()
-        .set_index("doc_id")["span_sig"]
-    )
-    b = (
-        output_ds.map_batches(spans_signature, batch_format="pyarrow")
-        .to_pandas()
-        .set_index("doc_id")["span_sig"]
-    )
-    joined = pd.concat([a, b], axis=1, join="inner", keys=["in", "out"])
-    # equality of matched rows AND no docs dropped on either side
-    return (bool((joined["in"] == joined["out"]).all())
-            and len(joined) == len(b) == len(a))
+    return span_invariant_verdicts(input_ds, output_ds) \
+        .map_batches(bad, batch_format="pyarrow").count() == 0

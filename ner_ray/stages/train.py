@@ -85,6 +85,7 @@ def _family_value(fam: str, token: str, ntoken: str, tests=()) -> str:
     raise KeyError(fam)
 
 
+MAX_FEATURE_VALUES = 20_000_000  # dense-tensor guard (see build_feature_space)
 _LEX_FAMILIES = ["low", "shape", "pre1", "pre2", "pre3",
                  "suf1", "suf2", "suf3"]
 
@@ -140,8 +141,25 @@ def build_feature_space(seq_ds, alias_types: dict[str, str] | None = None,
         out = pd.DataFrame({"fam": fams, "val": vals}).drop_duplicates()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    vocab = seq_ds.map_batches(uniques, batch_format="pyarrow").to_pandas() \
-        .drop_duplicates()
+    # distributed dedup BEFORE the collect: without it the driver
+    # receives blocks x per-block-unique rows (cross-block duplicates
+    # included) — one scalar groupby shuffle reduces that to the
+    # global unique set, which the driver must hold anyway (the dense
+    # weight tensors are vocabulary-sized). The cap guards the
+    # downstream tensor allocation, not the shuffle: a web-scale token
+    # vocabulary needs feature hashing, not a dense CRF layout.
+    from ray.data.aggregate import Count
+
+    deduped = seq_ds.map_batches(uniques, batch_format="pyarrow") \
+        .groupby(["fam", "val"]).aggregate(Count()).materialize()
+    n_vocab = deduped.count()
+    if n_vocab > MAX_FEATURE_VALUES:
+        raise ValueError(
+            f"feature space has {n_vocab} (family, value) pairs "
+            f"(cap {MAX_FEATURE_VALUES}): a dense weight tensor this "
+            "wide cannot train on a driver — shrink the corpus, prune "
+            "the pattern file, or hash features instead.")
+    vocab = deduped.to_pandas()[["fam", "val"]]
     value_ids: dict[str, dict[str, int]] = {}
     for fam, g in vocab.groupby("fam"):
         value_ids[fam] = {v: i + 1 for i, v in enumerate(sorted(g["val"]))}
