@@ -105,8 +105,10 @@ def group_topk(ds, group_key: str, order_by: list[str], k: int,
         return g.sort_values(order_by, ascending=asc, kind="stable").head(k)
 
     def prune(b: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a null group key is still a group — pandas'
+        # default would silently drop those rows before the shuffle
         return b.sort_values(order_by, ascending=asc, kind="stable") \
-            .groupby(group_key, sort=False).head(k)
+            .groupby(group_key, sort=False, dropna=False).head(k)
 
     return ds.map_batches(prune, batch_format="pandas") \
         .groupby(group_key).map_groups(head_k, batch_format="pandas")
@@ -434,9 +436,12 @@ def grouped_approx_distinct(ds, key: str, col: str,
     per batch, so a near-unique key column costs O(values) scalars
     instead of rows x 4 KiB (the dense form's shuffle was ~1000x the
     raw data there), while a hot key still caps at 4096 rows per
-    batch. Register-wise max is layout/retry independent, and the
-    sparse finale computes the IDENTICAL estimate (untouched
-    registers are the zeros term). Runs per coarse key-hash bucket
+    batch. Register-wise max is layout/retry independent; the sparse
+    finale sees the identical register contents (untouched registers
+    are the zeros term) and sums them in sorted register order, so
+    the estimate is deterministic across layouts (the dense form's
+    np.sum may differ in the last ULP — same sketch, same accuracy).
+    Runs per coarse key-hash bucket
     with a vectorized per-key estimate — no per-key map_groups
     dispatch. Returns (key, approx_distinct)."""
     from ner_ray.stages.neardup import _auto_buckets
@@ -449,7 +454,9 @@ def grouped_approx_distinct(ds, key: str, col: str,
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column(col)
-        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        # notna, not is_valid: float NaN must not count as a value
+        # (the dense form dropped it; approx_quantile does too)
+        valid = v.to_pandas().notna().to_numpy()
         k = t.column(key).to_pandas()[valid]
         idx, rank = _hll_rows(hash_column(v.filter(pa.array(valid))))
         red = pd.DataFrame({"k": k.to_numpy(), "i": idx, "r": rank}) \
@@ -464,6 +471,11 @@ def grouped_approx_distinct(ds, key: str, col: str,
 
     def est_bucket(g: pd.DataFrame) -> pd.DataFrame:
         c = g.groupby([key, "i"], sort=False)["r"].max().reset_index()
+        # sum the 2^-r terms in sorted register order: first-appearance
+        # order is layout-dependent and the terms span >50 bits of
+        # magnitude, so an unordered float sum could rint differently
+        # across layouts — breaking the documented retry independence
+        c = c.sort_values([key, "i"], kind="stable")
         c["w"] = np.exp2(-c["r"].to_numpy(dtype=np.float64))
         agg = c.groupby(key, sort=False).agg(
             present=("i", "size"), wsum=("w", "sum")).reset_index()

@@ -138,6 +138,13 @@ def curate_pretrain(docs_ds, *, html_col: str | None = None,
                 return t.append_column("_pack_id", sid)
 
             ds = ds.map_batches(add_id, batch_format="pyarrow")
+            if num_shards is None:
+                # the export's byte-based shard auto-sizing probes
+                # metadata, which a lazy chain defeats (floor of 16 —
+                # the corpus/16-per-task OOM the sizing exists to
+                # prevent); pin the packed stream so the probe sees
+                # real bytes
+                ds = ds.materialize()
             return export_shards(ds, out_dir, num_shards, seed=seed,
                                  id_col="_pack_id")
         return export_shards(ds, out_dir, num_shards, seed=seed,

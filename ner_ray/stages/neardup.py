@@ -1002,6 +1002,17 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     return out.select_columns([id_col, "n_dups"])
 
 
+def _para_loser_mask(df: pd.DataFrame, id_c: str, idx_c: str):
+    """(stable-sorted frame, loser mask) for paragraph keep-first: sort
+    by (para, id, idx); every LATER occurrence of a non-empty paragraph
+    is a loser. The ONE survivor rule shared by dedup_paragraphs' map-
+    side combiner and its global keep_first stage — the combiner's
+    exactness requires identical ordering, so both must call this."""
+    s = df.sort_values(["para", id_c, idx_c], kind="stable")
+    dup = s["para"].duplicated().to_numpy() & (s["para"].to_numpy() != "")
+    return s, dup
+
+
 def dedup_paragraphs(docs_ds, text_col: str = "text",
                      id_col: str = "doc_id", sep: str = "\n",
                      num_buckets: int | None = None,
@@ -1076,14 +1087,12 @@ def dedup_paragraphs(docs_ds, text_col: str = "text",
         # A hot boilerplate paragraph (the operator's own use case)
         # then ships at most one row per block into its hash bucket,
         # bounding the keep-first group by block count instead of
-        # occurrence count. Same string-compare sort as keep_first, so
-        # hash collisions cannot merge distinct paragraphs here either;
-        # applying keep-first twice is idempotent by construction.
+        # occurrence count. Shares keep_first's exact survivor rule
+        # (string compare — hash collisions cannot merge paragraphs
+        # here either); applying it twice is idempotent.
         df = pd.DataFrame({"para": flat.to_pandas(),
                            "id": ids[rep], "idx": idx})
-        s = df.sort_values(["para", "id", "idx"], kind="stable")
-        dup = s["para"].duplicated().to_numpy() \
-            & (s["para"].to_numpy() != "")
+        s, dup = _para_loser_mask(df, "id", "idx")
         if dup.any():
             keep = np.ones(len(df), dtype=bool)
             keep[s.index.to_numpy()[dup]] = False
@@ -1091,8 +1100,7 @@ def dedup_paragraphs(docs_ds, text_col: str = "text",
         return tb
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.sort_values(["para", id_col, "para_idx"], kind="stable")
-        dup = s["para"].duplicated() & (s["para"].to_numpy() != "")
+        s, dup = _para_loser_mask(g, id_col, "para_idx")
         out = s.loc[~dup, [id_col, "para_idx", "para"]].copy()
         # reassembly bucket rides along so the doc-side shuffle groups
         # by a bounded bucket, not one map_groups call per doc

@@ -115,6 +115,18 @@ def export_shards(ds, out_dir: str, num_shards: int | None = None,
         if pinned is not None:
             num_shards = pinned
         else:
+            if any(n.startswith("_shard_") and n.endswith(".json")
+                   for n in os.listdir(out_dir)):
+                # pre-pin-era partial export: the original count is
+                # unrecoverable, and auto-deriving a NEW one would
+                # resume six-of-N sidecars under a different membership
+                # (verified: duplicated rows, no error). Refuse.
+                raise ValueError(
+                    f"{out_dir} holds shard sidecars but no "
+                    "_NUM_SHARDS.json pin (an export started before "
+                    "the pin protocol): pass the original num_shards "
+                    "explicitly to resume it, or start a fresh "
+                    "out_dir.")
             from ner_ray.stages.neardup import _auto_buckets
 
             num_shards = _auto_buckets(ds)
@@ -125,10 +137,22 @@ def export_shards(ds, out_dir: str, num_shards: int | None = None,
             "depends on the count, so resuming would corrupt the "
             "export. Reuse the pinned count or start a fresh out_dir.")
     if pinned is None:
-        ptmp = pin_path + f".tmp.{os.getpid()}"
-        with open(ptmp, "w") as f:
-            json.dump({"num_shards": int(num_shards)}, f)
-        os.replace(ptmp, pin_path)
+        # O_EXCL claim, not check-then-replace: two concurrent
+        # exporters could both derive (different) auto counts — the
+        # loser must adopt the winner's pin or abort, never write
+        # shards under its own membership
+        try:
+            fd = os.open(pin_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"num_shards": int(num_shards)}, f)
+        except FileExistsError:
+            won = json.load(open(pin_path))["num_shards"]
+            if won != num_shards:
+                raise ValueError(
+                    f"lost the pin race at {out_dir}: a concurrent "
+                    f"export pinned num_shards={won} (this run derived "
+                    f"{num_shards}). Re-run to resume under the pinned "
+                    "count.") from None
     done = completed_shards(out_dir, num_shards)
 
     tagged = assign_shards(ds, num_shards, seed=seed, id_col=id_col)

@@ -103,3 +103,39 @@ def test_grouped_approx_distinct(ray_session):
             for r in grouped_approx_distinct(
                 rd.from_arrow(t).repartition(1), "g", "v").take_all()}
     assert out == out2
+
+
+def test_grouped_approx_distinct_ignores_nan_counts_null_key(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ner_ray.functions.aggregates import grouped_approx_distinct
+
+    # regression: the sparse rewrite briefly used pc.is_valid, which
+    # kept float NaN as a countable value (the dense form's notna
+    # dropped it — SQL semantics)
+    t = pa.table({"g": ["a", "a", "a", "b"],
+                  "v": pa.array([1.0, float("nan"), None, 2.0])})
+    out = {r["g"]: r["approx_distinct"]
+           for r in grouped_approx_distinct(
+               rd.from_arrow(t), "g", "v").take_all()}
+    assert out == {"a": 1, "b": 1}
+
+
+def test_group_topk_keeps_null_key_group(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ner_ray.functions.aggregates import group_topk
+
+    # regression: the map-side prune's pandas groupby silently dropped
+    # NaN-key rows (dropna defaults True) before the shuffle
+    df = pd.DataFrame({"g": [1.0, np.nan, 1.0, np.nan, 2.0],
+                       "x": [5, 9, 3, 7, 1]})
+    rows = group_topk(rd.from_pandas(df).repartition(3), "g", ["x"],
+                      k=1).take_all()
+    by_key = {("nan" if r["g"] != r["g"] else r["g"]): r["x"]
+              for r in rows}
+    assert by_key == {1.0: 5, 2.0: 1, "nan": 9}

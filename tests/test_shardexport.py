@@ -102,3 +102,38 @@ def test_manifest_shape(ray_session, tmp_path):
     assert sum(x["rows"] for x in m["shards"]) == 50
     disk = json.load(open(os.path.join(out, "_MANIFEST.json")))
     assert disk == m
+
+
+def test_prepin_partial_export_refused(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ner_ray.stages.shardexport import export_shards
+
+    out = str(tmp_path / "exp")
+    docs = rd.range(100).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    export_shards(docs, out, num_shards=4)
+    # simulate a pre-pin-era partial export: sidecars exist, pin and
+    # manifest gone — auto-sizing would resume under a DIFFERENT
+    # membership (verified: duplicated rows), so it must refuse
+    os.remove(os.path.join(out, "_MANIFEST.json"))
+    os.remove(os.path.join(out, "_NUM_SHARDS.json"))
+    with pytest.raises(ValueError, match="pin"):
+        export_shards(docs, out, num_shards=None)
+    # the documented escape hatch: the original explicit count resumes
+    m = export_shards(docs, out, num_shards=4)
+    assert m["total_rows"] == 100
+
+
+def test_pin_conflict_refused(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ner_ray.stages.shardexport import export_shards
+
+    out = str(tmp_path / "exp2")
+    docs = rd.range(50).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    export_shards(docs, out, num_shards=4)
+    os.remove(os.path.join(out, "_MANIFEST.json"))
+    with pytest.raises(ValueError, match="num_shards=4"):
+        export_shards(docs, out, num_shards=8)
