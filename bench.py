@@ -95,6 +95,9 @@ def _effective_cores(nproc: int = None) -> dict:
     }
 
 
+_PARTIAL: dict = {}   # in-progress fields for the stall-salvage line
+
+
 def run_bench() -> dict:
     import ray
 
@@ -188,6 +191,11 @@ def run_bench() -> dict:
 
     adjacency = build_adjacency(resolved).materialize()
     headline = time.perf_counter() - t0
+    _PARTIAL.update({
+        "metric": "flagship_kg_build_sec", "value": round(headline, 3),
+        "unit": "sec", "sf": _sf_from_dir(SF_DIR), "num_cpus": NUM_CPUS,
+        "n_docs": n_docs, "docs_per_sec": round(n_docs / headline, 1),
+    })
 
     # sum of resolved weights == number of raw extracted triples
     raw_triple_count = int(resolved.sum("weight"))
@@ -241,12 +249,14 @@ def run_bench() -> dict:
         "two_hop_nodes": n_two, "two_hop_sec": round(t_two, 3),
         "pagerank_nodes": n_pr, "pagerank5_sec": round(t_pr, 3),
     }
+    _PARTIAL["graph"] = graph_stats
 
     # ---------------- representative queries ----------------
     from ner_ray.pipelines.queries import registry
 
     reg = registry()
     qtimes: dict[str, float] = {}
+    _PARTIAL["queries"] = qtimes   # live reference: salvage sees each
     for name in BENCH_QUERIES:
         tq = time.perf_counter()
         _consume(reg[name](SF_DIR))
@@ -543,6 +553,36 @@ def run_scaling() -> dict:
     }
 
 
+def _with_stall_salvage(fn, limit_s: int = 1800):
+    """Emit whatever the bench has measured if Ray wedges mid-run.
+
+    The sandbox's Ray 2.49 occasionally parks its streaming executor
+    forever (futex-wait at zero CPU — see tests/conftest.py); a bench
+    run that wedges after the headline would otherwise print NOTHING
+    and the whole round loses its record. SIGALRM interrupts the
+    driver's blocking wait; the salvage line carries every field
+    recorded so far plus a "partial" marker. 30 min is ~6x the slowest
+    healthy full run observed, so a firing alarm means a real wedge."""
+    import signal
+
+    def alarm(signum, frame):
+        raise TimeoutError("bench stall guard")
+
+    old = signal.signal(signal.SIGALRM, alarm)
+    signal.alarm(limit_s)
+    try:
+        return fn()
+    except TimeoutError:
+        out = dict(_PARTIAL)
+        out.setdefault("metric", "flagship_kg_build_sec")
+        out.setdefault("unit", "sec")
+        out["partial"] = "ray-stall-guard"
+        return out
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 if __name__ == "__main__":
     if "--scaling-curate" in sys.argv:
         print(json.dumps(run_scaling_curate()))
@@ -551,4 +591,4 @@ if __name__ == "__main__":
     elif os.environ.get("NER_RAY_BENCH_MODE") == "curate":
         print(json.dumps(run_curate_bench()))
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(_with_stall_salvage(run_bench)))
